@@ -1,38 +1,467 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→route→enrich→aggregate query at
+sf0.001. ``queries()`` exposes each implemented operator from SURVEY.md §2
+(plus the training-data-pipeline extras) as (spark, sf_dir) → DataFrame;
+``oracle_sql()`` gives the DuckDB twin for each. Column names/aliases match
+pairwise so the driver's order-insensitive value-hash comparison holds.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from elb_pipeline import oracle as O
+from elb_pipeline.aggregate import (
+    N_BUCKETS,
+    conv_bucket,
+    salted_sink_day_bucket_counts,
+    sink_counts,
+    sink_day_bucket_counts,
+    ts_day,
+)
+from elb_pipeline.dialects import ALB_FIELDS, CLASSIC_FIELDS, SINK_ALB, SINK_CLASSIC, SINK_MALFORMED
+from elb_pipeline.deadletter import diagnosis
+from elb_pipeline.enrich import enrich
+from elb_pipeline.jsonout import alb_json, classic_json
+from elb_pipeline.parse import (
+    alb_field,
+    classic_field,
+    with_dialect_struct,
+    with_sink,
+)
+from elb_pipeline.synth import transcripts_from_events
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transcripts (derived from events) → routed (sink column only —
+    field extraction is deferred to the queries that read fields)."""
+    return with_sink(transcripts_from_events(spark, sf_dir))
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→route→enrich→aggregate at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    routed = enrich(_routed(spark, sf_dir), spark)
+    return (
+        routed.groupBy("sink", "role_group", ts_day())
+        .agg(F.count("*").alias("n"))
+        .orderBy("sink", "role_group", "ts_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_transcripts_build(spark, sf_dir):
+    return transcripts_from_events(spark, sf_dir)
+
+
+def q_parse_route_counts(spark, sf_dir):
+    return sink_counts(_routed(spark, sf_dir))
+
+
+def q_route_sets(spark, sf_dir):
+    return _routed(spark, sf_dir).select("sink", "conv_id", "turn_idx")
+
+
+def q_parse_alb_fields(spark, sf_dir):
+    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
+    df = with_dialect_struct(df, SINK_ALB)
+    return df.select("conv_id", "turn_idx", *[alb_field(f) for f in ALB_FIELDS])
+
+
+def q_parse_classic_fields(spark, sf_dir):
+    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_CLASSIC)
+    df = with_dialect_struct(df, SINK_CLASSIC)
+    return df.select(
+        "conv_id", "turn_idx", *[classic_field(f) for f in CLASSIC_FIELDS]
+    )
+
+
+def q_alb_json_lines(spark, sf_dir):
+    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
+    df = with_dialect_struct(df, SINK_ALB)
+    return df.select("conv_id", "turn_idx", alb_json().alias("json"))
+
+
+def q_classic_json_lines(spark, sf_dir):
+    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_CLASSIC)
+    df = with_dialect_struct(df, SINK_CLASSIC)
+    return df.select("conv_id", "turn_idx", classic_json().alias("json"))
+
+
+def q_enrich_rollup(spark, sf_dir):
+    df = enrich(_routed(spark, sf_dir), spark)
+    return df.groupBy("sink", "role_group", "tool_family").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_human").cast("int")).alias("n_human"),
+        F.sum(F.col("is_io").cast("int")).alias("n_io"),
+    )
+
+
+def q_agg_sink_day_bucket(spark, sf_dir):
+    # ts_day as ISO string so the cross-engine comparison is type-unambiguous
+    return sink_day_bucket_counts(_routed(spark, sf_dir)).withColumn(
+        "ts_day", F.col("ts_day").cast("string")
+    )
+
+
+def q_agg_salted(spark, sf_dir):
+    return salted_sink_day_bucket_counts(_routed(spark, sf_dir)).withColumn(
+        "ts_day", F.col("ts_day").cast("string")
+    )
+
+
+def q_turn_order_check(spark, sf_dir):
+    """Stable-(conv_id, turn_idx) invariant: turn_idx is dense 0..n-1."""
+    t = transcripts_from_events(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min("turn_idx").alias("min_turn"),
+        F.max("turn_idx").alias("max_turn"),
+        (F.max("turn_idx") == F.count("*") - 1).alias("dense"),
+    )
+
+
+def q_dead_letter_rows(spark, sf_dir):
+    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_MALFORMED)
+    return df.select("conv_id", "turn_idx", "text")
+
+
+def q_dead_letter_diag(spark, sf_dir):
+    """Failed-position diagnostics (python-prefix probing — no SQL oracle)."""
+    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_MALFORMED)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        diagnosis().alias("d"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("d.dialect").alias("nearest_dialect"),
+        F.col("d.fields_ok").alias("fields_ok"),
+        F.col("d.failed_position").alias("failed_position"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — generic operator checks over the driver tables
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_events_per_user(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("user_id", "event_id", "event_type", "value", "rk")
+    )
+
+
+def q_orders_customer_join(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_event_types_except(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    all_types = ev.select("event_type").distinct()
+    big = ev.where(F.col("value") > 150).select("event_type").distinct()
+    return all_types.exceptAll(big).distinct()
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+_MINHASH_SEEDS = ["#0", "#1", "#2", "#3"]
+
+
+def _sig_expr(seed: str):
+    # factory keeps the lambda single-arg: a two-param lambda would be
+    # interpreted by F.transform as the (element, index) variant
+    return F.array_min(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.md5(F.concat(t, F.lit(seed))),
+        )
+    )
+
+
+def _minhash_sigs(df: DataFrame) -> DataFrame:
+    sigs = [
+        _sig_expr(seed).alias(f"sig{i}") for i, seed in enumerate(_MINHASH_SEEDS)
+    ]
+    return df.select("doc_id", *sigs)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return _minhash_sigs(_read(spark, sf_dir, "documents"))
+
+
+def q_minhash_dup_groups(spark, sf_dir):
+    sigs = _minhash_sigs(_read(spark, sf_dir, "documents"))
+    return (
+        sigs.groupBy("sig0", "sig1", "sig2", "sig3")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+        .select("keep_id", "n_docs")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qnorm = math.sqrt(sum(x * x for x in qvec))
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qcol, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"), lambda a: a.cast("double") * a.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm * F.lit(qnorm))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcripts_build": q_transcripts_build,
+        "parse_route_counts": q_parse_route_counts,
+        "route_sets": q_route_sets,
+        "parse_alb_fields": q_parse_alb_fields,
+        "parse_classic_fields": q_parse_classic_fields,
+        "alb_json_lines": q_alb_json_lines,
+        "classic_json_lines": q_classic_json_lines,
+        "enrich_rollup": q_enrich_rollup,
+        "agg_sink_day_bucket": q_agg_sink_day_bucket,
+        "agg_salted": q_agg_salted,
+        "turn_order_check": q_turn_order_check,
+        "dead_letter_rows": q_dead_letter_rows,
+        "dead_letter_diag": q_dead_letter_diag,
+        "tpch_q1": q_tpch_q1,
+        "top_events_per_user": q_top_events_per_user,
+        "orders_customer_join": q_orders_customer_join,
+        "event_types_except": q_event_types_except,
+        "dedup_exact": q_dedup_exact,
+        "doc_quality": q_doc_quality,
+        "lang_distribution": q_lang_distribution,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_dup_groups": q_minhash_dup_groups,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — one per query above (dead_letter_diag intentionally
+# omitted: python-prefix diagnostics are not SQL-expressible)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pre = O.with_prelude  # WITH pool, transcripts, routed ...
+    bucket = O.conv_bucket_sql()
+    return {
+        "transcripts_build": pre("SELECT * FROM transcripts"),
+        "parse_route_counts": pre(
+            "SELECT sink, count(*) AS n FROM routed GROUP BY sink"
+        ),
+        "route_sets": pre("SELECT sink, conv_id, turn_idx FROM routed"),
+        "parse_alb_fields": pre(
+            f", {O.alb_extract_cte()} "
+            f"SELECT conv_id, turn_idx, {O.alb_field_select()} FROM alb_ext"
+        ),
+        "parse_classic_fields": pre(
+            f", {O.classic_extract_cte()} "
+            f"SELECT conv_id, turn_idx, {O.classic_field_select()} FROM clb_ext"
+        ),
+        "alb_json_lines": pre(
+            f", {O.alb_extract_cte()} "
+            f"SELECT conv_id, turn_idx, {O.alb_json_expr()} AS json FROM alb_ext"
+        ),
+        "classic_json_lines": pre(
+            f", {O.classic_extract_cte()} "
+            f"SELECT conv_id, turn_idx, {O.classic_json_expr()} AS json FROM clb_ext"
+        ),
+        "enrich_rollup": pre(
+            f", {O.role_dim_cte()}, {O.tool_dim_cte()} "
+            "SELECT r.sink, d.role_group, t.tool_family, count(*) AS n, "
+            "CAST(sum(CAST(d.is_human AS INT)) AS BIGINT) AS n_human, "
+            "CAST(sum(CAST(t.is_io AS INT)) AS BIGINT) AS n_io "
+            "FROM routed r LEFT JOIN dim_role d USING (role) "
+            "LEFT JOIN dim_tool t USING (tool) "
+            "GROUP BY r.sink, d.role_group, t.tool_family"
+        ),
+        "agg_sink_day_bucket": pre(
+            f"SELECT sink, {bucket} AS conv_bucket, "
+            "CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_day, "
+            "count(*) AS n FROM routed GROUP BY 1, 2, 3"
+        ),
+        # salted two-stage aggregation must equal the direct aggregation
+        "agg_salted": pre(
+            f"SELECT sink, {bucket} AS conv_bucket, "
+            "CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_day, "
+            "count(*) AS n FROM routed GROUP BY 1, 2, 3"
+        ),
+        "turn_order_check": pre(
+            "SELECT conv_id, count(*) AS n_turns, min(turn_idx) AS min_turn, "
+            "max(turn_idx) AS max_turn, max(turn_idx) = count(*) - 1 AS dense "
+            "FROM transcripts GROUP BY conv_id"
+        ),
+        "dead_letter_rows": pre(
+            "SELECT conv_id, turn_idx, text FROM routed WHERE sink = 'malformed'"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_events_per_user": (
+            "SELECT user_id, event_id, event_type, value, rk FROM ("
+            "SELECT *, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS rk "
+            "FROM events) WHERE rk <= 3"
+        ),
+        "orders_customer_join": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "event_types_except": (
+            "SELECT DISTINCT event_type FROM events "
+            "EXCEPT "
+            "SELECT DISTINCT event_type FROM events WHERE value > 150"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, lang, length(text) AS len_chars, "
+            "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens, "
+            "round(length(text) / (length(text) - length(replace(text, ' ', '')) + 1), 4)"
+            " AS avg_token_len FROM documents"
+        ),
+        "lang_distribution": (
+            "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "minhash_signatures": (
+            "SELECT doc_id, "
+            + ", ".join(
+                "list_min(list_transform(string_split(text, ' '), "
+                f"t -> md5(t || '{seed}'))) AS sig{i}"
+                for i, seed in enumerate(_MINHASH_SEEDS)
+            )
+            + " FROM documents"
+        ),
+        "minhash_dup_groups": (
+            "WITH sigs AS (SELECT doc_id, "
+            + ", ".join(
+                "list_min(list_transform(string_split(text, ' '), "
+                f"t -> md5(t || '{seed}'))) AS sig{i}"
+                for i, seed in enumerate(_MINHASH_SEEDS)
+            )
+            + " FROM documents) "
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_docs FROM sigs "
+            "GROUP BY sig0, sig1, sig2, sig3 HAVING count(*) > 1"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(embedding, q.qe), 4) "
+            "AS cos_sim FROM embeddings, q WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, q.qe) DESC, vec_id LIMIT 10"
+        ),
+    }

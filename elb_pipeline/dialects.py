@@ -224,6 +224,38 @@ class Dialect:
         ]
 
 
+def named_pattern(pattern: str, fields: list[str] | tuple[str, ...]) -> str:
+    """Rewrite unnamed capture groups to named groups ``(?P<field>...)``.
+
+    RE2's ``extract_regex`` (the pyarrow C++ fast path) requires named
+    groups; ``(?P<...>)`` is accepted identically by Python ``re`` and RE2,
+    so the named pattern stays engine-portable. Group order must equal
+    ``fields`` order.
+    """
+    it = iter(fields)
+    out: list[str] = []
+    j = 0
+    while j < len(pattern):
+        c = pattern[j]
+        if c == "\\":  # escaped char (incl. \( ) — copy verbatim
+            out.append(pattern[j : j + 2])
+            j += 2
+            continue
+        if c == "(" and pattern[j + 1 : j + 2] != "?":
+            out.append(f"(?P<{next(it)}>")
+            j += 1
+            continue
+        out.append(c)
+        j += 1
+    remaining = list(it)
+    if remaining:
+        raise ValueError(f"pattern has fewer groups than fields: {remaining}")
+    return "".join(out)
+
+
+ALB_NAMED_PATTERN = None  # filled below, after field lists exist
+CLASSIC_NAMED_PATTERN = None
+
 _COMPILE_CACHE: dict[str, re.Pattern[str]] = {}
 
 
@@ -251,6 +283,9 @@ CLASSIC = Dialect(
     parts=tuple(CLASSIC_PARTS),
     fields=tuple(CLASSIC_FIELDS),
 )
+
+ALB_NAMED_PATTERN = named_pattern(ALB_PATTERN, ALB_FIELDS)
+CLASSIC_NAMED_PATTERN = named_pattern(CLASSIC_PATTERN, CLASSIC_FIELDS)
 
 # Routing precedence: try ALB first, then Classic (grammars are disjoint —
 # ALB lines start with a scheme token alb.rs:102, Classic with a timestamp

@@ -1,0 +1,81 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is a bounded batch job over files (SURVEY.md §2.9); our
+parse/route/enrich stages are stateless, so the identical operators run
+under ``readStream`` unchanged — this module wires them up to demonstrate
+that property and to provide the micro-batch entry point a production
+deployment would use (e.g. files or Kafka → per-sink sinks).
+
+Windowed per-sink counts with a watermark handle late-arriving turns; the
+aggregation mirrors aggregate.sink_day_bucket_counts at streaming
+granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elb_pipeline.enrich import enrich
+from elb_pipeline.parse import with_sink
+
+TRANSCRIPTS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcripts_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def routed_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """Stateless parse→route→enrich over a streaming DataFrame."""
+    return enrich(with_sink(stream), spark)
+
+
+def windowed_sink_counts(
+    routed: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-sink tumbling-window counts tolerant of late turns."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "sink")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sink",
+            "n",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    input_path: str,
+    query_name: str = "routed_counts",
+) -> DataFrame:
+    """Drive the streaming pipeline to completion over the files currently
+    in ``input_path`` (memory sink; test/smoke harness)."""
+    routed = routed_stream(spark, read_transcripts_stream(spark, input_path))
+    agg = windowed_sink_counts(routed)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

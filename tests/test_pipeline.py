@@ -1,0 +1,147 @@
+"""End-to-end pipeline semantics: routing sets, aggregates, strict mode,
+checkpoint-resume idempotence — all vs a pure-Python ``re`` oracle over the
+same synthesized rows (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import collections
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from elb_pipeline import checkpoint
+from elb_pipeline.dialects import parse_line
+from elb_pipeline.job import StrictModeError, run_job
+from elb_pipeline.parse import with_parsed, with_parsed_pandas, with_sink
+from elb_pipeline.synth import transcripts_from_events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return transcripts_from_events(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(transcripts):
+    """Pure-Python routing oracle over the collected rows."""
+    rows = transcripts.collect()
+    out = []
+    for r in rows:
+        sink, _ = parse_line(r["text"])
+        out.append((r["conv_id"], r["turn_idx"], sink, r["ts"]))
+    return out
+
+
+def test_routed_row_sets_match_oracle(spark, transcripts, oracle_rows):
+    got = {
+        (r["conv_id"], r["turn_idx"], r["sink"])
+        for r in with_sink(transcripts).select("conv_id", "turn_idx", "sink").collect()
+    }
+    want = {(c, t, s) for c, t, s, _ in oracle_rows}
+    assert got == want
+
+
+def test_sink_counts_match_oracle(spark, transcripts, oracle_rows):
+    got = {
+        r["sink"]: r["n"]
+        for r in with_sink(transcripts).groupBy("sink").agg(F.count("*").alias("n")).collect()
+    }
+    want = collections.Counter(s for _, _, s, _ in oracle_rows)
+    assert got == dict(want)
+    assert set(got) == {"alb", "classic_lb", "malformed"}  # every sink exercised
+
+
+def test_order_invariant(transcripts, oracle_rows):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    collected = transcripts.orderBy("conv_id", "turn_idx").select(
+        "conv_id", "turn_idx"
+    ).collect()
+    want = sorted((c, t) for c, t, _, _ in oracle_rows)
+    assert [(r["conv_id"], r["turn_idx"]) for r in collected] == want
+
+
+def test_job_end_to_end_and_resume(spark, transcripts, oracle_rows, tmp_path):
+    out = str(tmp_path / "out")
+    want = collections.Counter(s for _, _, s, _ in oracle_rows)
+
+    res1 = run_job(spark, transcripts, out, mode="skip", n_groups=3)
+    assert sorted(res1.groups_run) == [0, 1, 2]
+    assert res1.sink_counts == dict(want)
+
+    # per-sink parquet row counts match the manifests (group=/sink=/ts_day=
+    # read back as partition columns)
+    valid_df = spark.read.parquet(f"{out}/valid")
+    for sink in ("alb", "classic_lb"):
+        assert valid_df.where(F.col("sink") == sink).count() == want[sink]
+    assert spark.read.parquet(f"{out}/malformed").count() == want["malformed"]
+
+    # alb output carries the byte-exact json column
+    alb_df = valid_df.where(F.col("sink") == "alb")
+    assert alb_df.where(F.col("json").startswith('{"type":"')).count() == want["alb"]
+    # dead letters carry diagnostics
+    mal = spark.read.parquet(f"{out}/malformed")
+    assert mal.where(F.col("diag.failed_position").isNotNull()).count() == want["malformed"]
+
+    # resume: everything already committed → nothing re-runs
+    res2 = run_job(spark, transcripts, out, mode="skip", n_groups=3)
+    assert res2.groups_run == [] and sorted(res2.groups_skipped) == [0, 1, 2]
+    assert res2.sink_counts == dict(want)
+
+    # knock out one manifest → exactly that group re-runs, totals unchanged
+    import os
+
+    os.remove(checkpoint.manifest_path(out, 1))
+    res3 = run_job(spark, transcripts, out, mode="skip", n_groups=3)
+    assert res3.groups_run == [1] and sorted(res3.groups_skipped) == [0, 2]
+    assert res3.sink_counts == dict(want)
+
+
+def test_strict_mode_raises(spark, transcripts, tmp_path):
+    with pytest.raises(StrictModeError):
+        run_job(spark, transcripts, str(tmp_path / "strict"), mode="strict", n_groups=1)
+
+
+def test_strict_mode_clean_input_passes(spark, transcripts, tmp_path):
+    clean = with_sink(transcripts).where(F.col("sink") != "malformed").drop("sink")
+    res = run_job(spark, clean, str(tmp_path / "clean"), mode="strict", n_groups=1)
+    assert res.sink_counts["malformed"] == 0
+    assert res.sink_counts["alb"] > 0
+
+
+def test_parse_paths_equivalent(spark, transcripts):
+    """The three parse implementations (Arrow match-only routing, Arrow
+    full-struct extraction, pandas/``re`` UDF) must agree row-for-row."""
+    key = ["conv_id", "turn_idx"]
+    a = {tuple(r[k] for k in key): r["sink"]
+         for r in with_sink(transcripts).select(*key, "sink").collect()}
+    b = {tuple(r[k] for k in key): r["sink"]
+         for r in with_parsed(transcripts).select(*key, "sink").collect()}
+    c = {tuple(r[k] for k in key): r["sink"]
+         for r in with_parsed_pandas(transcripts).select(*key, "sink").collect()}
+    assert a == b == c
+
+    # and full-struct field values: arrow vs pandas
+    cols = ["parsed.alb_url", "parsed.alb_tid", "parsed.clb_http_version"]
+    b2 = {tuple(r[k] for k in key): tuple(r[i] for i in range(2, 5))
+          for r in with_parsed(transcripts).select(*key, *cols).collect()}
+    c2 = {tuple(r[k] for k in key): tuple(r[i] for i in range(2, 5))
+          for r in with_parsed_pandas(transcripts).select(*key, *cols).collect()}
+    assert b2 == c2
+
+
+def test_salted_agg_equals_direct(spark, transcripts):
+    from elb_pipeline.aggregate import salted_sink_day_bucket_counts, sink_day_bucket_counts
+
+    routed = with_sink(transcripts).withColumn("ts_day", F.to_date("ts"))
+    direct = {
+        (r["sink"], r["conv_bucket"], r["ts_day"]): r["n"]
+        for r in sink_day_bucket_counts(routed).collect()
+    }
+    salted = {
+        (r["sink"], r["conv_bucket"], r["ts_day"]): r["n"]
+        for r in salted_sink_day_bucket_counts(routed).collect()
+    }
+    assert direct == salted
