@@ -283,6 +283,75 @@ def q_minhash_dup_groups(spark, sf_dir):
     )
 
 
+# BPE-ish token classes: letter runs, digit runs, single punctuation
+_BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+_EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+
+
+def q_token_count_bpe(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_TOKEN_RE}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def q_lang_stopword_score(spark, sf_dir):
+    """Language-ID heuristic: English stopword ratio per document."""
+    d = _read(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    n_sw = F.size(F.array_intersect(words, sw))
+    # ratio of distinct-stopword hits to token count (portable + determin.)
+    n_tok = F.size(words)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_sw.alias("n_stopword_kinds"),
+        F.round(n_sw / n_tok, 4).alias("stopword_ratio"),
+        (n_sw >= 3).alias("looks_english"),
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Near-duplicate pairs by embedding cosine within a label block
+    (label equality as the blocking key — the scale path for pairwise
+    similarity; brute force only inside blocks)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("a_e"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("b_e"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_e", "b_e", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cos = dot / (norm("a_e") * norm("b_e"))
+    return (
+        a.join(b, "label")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("label", "a_id", "b_id", F.round(cos, 4).alias("cos_sim"))
+        .where(F.col("cos_sim") > 0.9)
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -335,6 +404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dup_groups": q_minhash_dup_groups,
+        "token_count_bpe": q_token_count_bpe,
+        "lang_stopword_score": q_lang_stopword_score,
+        "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
     }
 
@@ -457,6 +529,32 @@ def oracle_sql() -> dict[str, str]:
             + " FROM documents) "
             "SELECT min(doc_id) AS keep_id, count(*) AS n_docs FROM sigs "
             "GROUP BY sig0, sig1, sig2, sig3 HAVING count(*) > 1"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            f"'{_BPE_TOKEN_RE}')) AS INT) AS n_bpe_tokens FROM documents"
+        ),
+        "lang_stopword_score": (
+            "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws "
+            "FROM documents) "
+            "SELECT doc_id, lang, "
+            "CAST(length(list_intersect(ws, "
+            + O._str_list(_EN_STOPWORDS)
+            + ")) AS INT) AS n_stopword_kinds, "
+            "round(length(list_intersect(ws, "
+            + O._str_list(_EN_STOPWORDS)
+            + ")) / length(ws), 4) AS stopword_ratio, "
+            "length(list_intersect(ws, "
+            + O._str_list(_EN_STOPWORDS)
+            + ")) >= 3 AS looks_english "
+            "FROM w"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.label = b.label "
+            "AND a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) > 0.9"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
