@@ -352,6 +352,50 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_media_inventory(spark, sf_dir):
+    from elb_pipeline.multimodal import media_from_documents
+
+    m = media_from_documents(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Stubbed decode → deterministic feature vectors (rows-only check)."""
+    from elb_pipeline.multimodal import decode_features, media_from_documents
+
+    f = decode_features(media_from_documents(spark, sf_dir))
+    return f.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.aggregate(
+            F.transform("features", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ), 4).alias("feat_sq_norm"),
+    )
+
+
+def q_media_resize_plan(spark, sf_dir):
+    from elb_pipeline.multimodal import media_from_documents, resize_meta
+
+    return resize_meta(media_from_documents(spark, sf_dir))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from elb_pipeline.multimodal import media_from_documents, sample_frames
+
+    return sample_frames(media_from_documents(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -407,6 +451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "lang_stopword_score": q_lang_stopword_score,
         "embedding_near_dup": q_embedding_near_dup,
+        "media_inventory": q_media_inventory,
+        "media_features": q_media_features,
+        "media_resize_plan": q_media_resize_plan,
+        "media_frame_sample": q_media_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
     }
 
@@ -555,6 +603,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.label = b.label "
             "AND a.vec_id < b.vec_id "
             "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) > 0.9"
+        ),
+        "media_inventory": (
+            "SELECT doc_id AS media_id, "
+            "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind, "
+            "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+            "CAST((n_chars % 64 + 1) * 16 AS INT) AS width, "
+            "CAST((n_chars % 48 + 1) * 16 AS INT) AS height, "
+            "CAST(8000 + (n_chars % 5) * 8000 AS INT) AS sample_rate, "
+            "CAST(n_chars % 30 + 2 AS INT) AS n_frames "
+            "FROM documents"
+        ),
+        "media_resize_plan": (
+            "WITH m AS (SELECT doc_id AS media_id, "
+            "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind, "
+            "CAST((n_chars % 64 + 1) * 16 AS INT) AS width, "
+            "CAST((n_chars % 48 + 1) * 16 AS INT) AS height FROM documents) "
+            "SELECT media_id, width, height, "
+            "round(CASE WHEN greatest(width, height) > 256 "
+            "THEN 256.0 / greatest(width, height) ELSE 1.0 END, 4) AS scale, "
+            "CAST(floor(width * (CASE WHEN greatest(width, height) > 256 "
+            "THEN 256.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_width, "
+            "CAST(floor(height * (CASE WHEN greatest(width, height) > 256 "
+            "THEN 256.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_height "
+            "FROM m WHERE kind = 'image'"
+        ),
+        "media_frame_sample": (
+            "WITH m AS (SELECT doc_id AS media_id, "
+            "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind, "
+            "CAST(n_chars % 30 + 2 AS INT) AS n_frames FROM documents) "
+            "SELECT media_id, n_frames, "
+            "CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx "
+            "FROM m WHERE kind = 'video'"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
