@@ -352,6 +352,67 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _word_3grams():
+    """Array of word-3-gram strings (engine-portable: 1-based indexing)."""
+    ws = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    # sequence(1, n) descends when n < 1 — guard short docs to an empty array
+    return F.when(F.size(ws) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_ngram_profile(spark, sf_dir):
+    """Per-document distinct word-3-gram (shingle) counts."""
+    d = _read(spark, sf_dir, "documents")
+    g = _word_3grams()
+    return d.select(
+        "doc_id",
+        F.size(g).alias("n_shingles"),
+        F.size(F.array_distinct(g)).alias("n_distinct_shingles"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-shingle fingerprint: lexicographic-min md5 over word-3-grams
+    (1-min sketch — two docs sharing the fingerprint are near-dup candidates)."""
+    d = _read(spark, sf_dir, "documents")
+    g = _word_3grams()
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(g, lambda s: F.md5(s))).alias("fingerprint"),
+    )
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash over tokens: bit k = majority of md5(token) hex-digit-k
+    high bits. Portable: both engines compute the same md5 hex."""
+    d = _read(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    bits = []
+    for k in range(1, 17):
+        ones = F.size(
+            F.filter(
+                F.transform(ws, lambda t: F.substring(F.md5(t), k, 1)),
+                lambda c: c.isin("8", "9", "a", "b", "c", "d", "e", "f"),
+            )
+        )
+        bits.append(F.when(ones * 2 > n, F.lit(1 << (k - 1))).otherwise(F.lit(0)))
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return d.select("doc_id", acc.cast("int").alias("simhash16"))
+
+
 def q_media_inventory(spark, sf_dir):
     from elb_pipeline.multimodal import media_from_documents
 
@@ -451,6 +512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "lang_stopword_score": q_lang_stopword_score,
         "embedding_near_dup": q_embedding_near_dup,
+        "ngram_profile": q_ngram_profile,
+        "doc_fingerprint": q_doc_fingerprint,
+        "simhash16": q_simhash16,
         "media_inventory": q_media_inventory,
         "media_features": q_media_features,
         "media_resize_plan": q_media_resize_plan,
@@ -603,6 +667,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.label = b.label "
             "AND a.vec_id < b.vec_id "
             "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) > 0.9"
+        ),
+        "ngram_profile": (
+            "WITH g AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
+            "SELECT doc_id, "
+            "CAST(length([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "FOR i IN range(1, greatest(length(ws) - 2, 0) + 1)]) AS INT) AS n_shingles, "
+            "CAST(length(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "FOR i IN range(1, greatest(length(ws) - 2, 0) + 1)])) AS INT) "
+            "AS n_distinct_shingles FROM g"
+        ),
+        "doc_fingerprint": (
+            "WITH g AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
+            "SELECT doc_id, "
+            "list_min([md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+            "FOR i IN range(1, greatest(length(ws) - 2, 0) + 1)]) AS fingerprint "
+            "FROM g"
+        ),
+        "simhash16": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
+            "SELECT doc_id, CAST("
+            + " + ".join(
+                "(CASE WHEN 2 * length(list_filter(ws, "
+                f"t -> substr(md5(t), {k}, 1) IN "
+                "('8','9','a','b','c','d','e','f'))) > length(ws) "
+                f"THEN {1 << (k - 1)} ELSE 0 END)"
+                for k in range(1, 17)
+            )
+            + " AS INT) AS simhash16 FROM w"
         ),
         "media_inventory": (
             "SELECT doc_id AS media_id, "
