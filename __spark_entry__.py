@@ -24,8 +24,16 @@ from elb_pipeline.aggregate import (
     sink_day_bucket_counts,
     ts_day,
 )
-from elb_pipeline.dialects import ALB_FIELDS, CLASSIC_FIELDS, SINK_ALB, SINK_CLASSIC, SINK_MALFORMED
-from elb_pipeline.deadletter import diagnosis
+from elb_pipeline.dialects import (
+    ALB as O_ALB,
+    ALB_FIELDS,
+    CLASSIC as O_CLASSIC,
+    CLASSIC_FIELDS,
+    SINK_ALB,
+    SINK_CLASSIC,
+    SINK_MALFORMED,
+)
+from elb_pipeline.deadletter import with_diagnosis
 from elb_pipeline.enrich import enrich
 from elb_pipeline.jsonout import alb_json, classic_json
 from elb_pipeline.parse import (
@@ -147,19 +155,28 @@ def q_dead_letter_rows(spark, sf_dir):
 
 
 def q_dead_letter_diag(spark, sf_dir):
-    """Failed-position diagnostics (python-prefix probing — no SQL oracle)."""
+    """Vectorized failed-field diagnostics. nearest_dialect + fields_ok are
+    oracle-checked (DuckDB recomputes the cumulative prefix predicates);
+    the byte-exact failed_position (reference parse.rs:22-41 semantics) is
+    covered by tests/test_deadletter.py against a linear DFA-alive walk."""
     df = _routed(spark, sf_dir).where(F.col("sink") == SINK_MALFORMED)
-    return df.select(
-        "conv_id",
-        "turn_idx",
-        diagnosis().alias("d"),
-    ).select(
-        "conv_id",
-        "turn_idx",
-        F.col("d.dialect").alias("nearest_dialect"),
-        F.col("d.fields_ok").alias("fields_ok"),
-        F.col("d.failed_position").alias("failed_position"),
+    return with_diagnosis(df).select(
+        "conv_id", "turn_idx", "nearest_dialect", "fields_ok"
     )
+
+
+def q_file_corpus_route_counts(spark, sf_dir):
+    """Raw-file ingestion (the reference CLI's actual input mode): recursive
+    walk + per-dialect extension filter + empty-file skip + transparent
+    gzip decode + line split, then route (main.rs:103-177, alb.rs:96,
+    classic_lb.rs:56). Deterministic on-disk fixture; sf-independent."""
+    from elb_pipeline.sources import (
+        DEFAULT_CORPUS_ROOT,
+        corpus_fixture,
+        corpus_route_counts,
+    )
+
+    return corpus_route_counts(spark, corpus_fixture(DEFAULT_CORPUS_ROOT))
 
 
 # ---------------------------------------------------------------------------
@@ -500,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_order_check": q_turn_order_check,
         "dead_letter_rows": q_dead_letter_rows,
         "dead_letter_diag": q_dead_letter_diag,
+        "file_corpus_route_counts": q_file_corpus_route_counts,
         "tpch_q1": q_tpch_q1,
         "top_events_per_user": q_top_events_per_user,
         "orders_customer_join": q_orders_customer_join,
@@ -527,6 +545,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB) — one per query above (dead_letter_diag intentionally
 # omitted: python-prefix diagnostics are not SQL-expressible)
 # ---------------------------------------------------------------------------
+
+def _file_corpus_oracle_sql() -> str:
+    """DuckDB independently re-reads the same gzip/plain log files
+    (read_csv with quoting disabled = raw line reader) and re-routes."""
+    from elb_pipeline.sources import DEFAULT_CORPUS_ROOT, corpus_fixture
+
+    corpus_fixture(DEFAULT_CORPUS_ROOT)
+    read = (
+        "read_csv('{glob}', columns={{'text': 'VARCHAR'}}, delim=e'\\x01', "
+        "header=false, quote='', escape='')"
+    )
+    alb_glob = f"{DEFAULT_CORPUS_ROOT}/alb/part-*.log.gz"
+    clb_glob = f"{DEFAULT_CORPUS_ROOT}/classic/part-*.log"
+    return (
+        f"WITH alb_lines AS (SELECT text FROM {read.format(glob=alb_glob)}), "
+        f"clb_lines AS (SELECT text FROM {read.format(glob=clb_glob)}) "
+        f"SELECT 'alb_gz' AS corpus, {O.sink_expr('text')} AS sink, "
+        "count(*) AS n FROM alb_lines GROUP BY 1, 2 "
+        "UNION ALL "
+        f"SELECT 'classic_plain' AS corpus, {O.sink_expr('text')} AS sink, "
+        "count(*) AS n FROM clb_lines GROUP BY 1, 2"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     pre = O.with_prelude  # WITH pool, transcripts, routed ...
@@ -581,6 +622,15 @@ def oracle_sql() -> dict[str, str]:
         "dead_letter_rows": pre(
             "SELECT conv_id, turn_idx, text FROM routed WHERE sink = 'malformed'"
         ),
+        "dead_letter_diag": pre(
+            ", diag AS (SELECT conv_id, turn_idx, "
+            f"{O.fields_ok_sql(O_ALB)} AS ka, {O.fields_ok_sql(O_CLASSIC)} AS kc "
+            "FROM routed WHERE sink = 'malformed') "
+            "SELECT conv_id, turn_idx, "
+            "CASE WHEN kc > ka THEN 'classic_lb' ELSE 'alb' END AS nearest_dialect, "
+            "CAST(greatest(ka, kc) AS INT) AS fields_ok FROM diag"
+        ),
+        "file_corpus_route_counts": _file_corpus_oracle_sql(),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "

@@ -6,10 +6,25 @@ turns/sec) over a deterministic synthesized transcripts table sized to the
 scale factor, on local[$SPARK_GRAFT_CPUS]. Also times the per-query suite
 from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
 
-Scaling evidence (BASELINE.json: efficiency ≥0.8 from N to 4N executors):
-the same pipeline job is re-run in clean subprocesses at local[N_LOW] and
-local[N_HIGH] over the same pre-written parquet input, and throughput
-scaling efficiency = (thr_high / thr_low) / (N_HIGH / N_LOW) is reported.
+Scaling evidence (BASELINE.json north rule: efficiency ≥0.8 from N to 4N
+executors; sandbox proxy per BASELINE.md: same job, same input, two local
+parallelism levels): the identical pipeline job runs in clean subprocesses
+at N_LOW and N_HIGH=4×N_LOW, each **CPU-affinity-confined to exactly that
+many cores** (`sched_setaffinity`), so the low-parallelism run cannot
+borrow idle cores for its Python workers — an unconfined local[8] run
+overlaps 8 JVM task threads + 8 Python workers across up to 16 cores and
+overstates the 8-core baseline by ~2×. Each level does one untimed full
+warm-up pass (faults in the fixed JVM heap and the workers' retained Arrow
+pools — first-pass page-fault/TLB storms otherwise dominate), then reports
+the best of ``TIMED_RUNS`` timed passes (the box shows 1.5-4× run-to-run
+host noise; see BENCH/BASELINE.md).
+
+Two contention controls accompany the whole-job number, because one
+shared memory bus is NOT four independent executors:
+- ``cpu_probe``: pure-CPU busy loops at both process counts — what the
+  virtualized box itself delivers (≈0.8 at 8→32 even for pure compute);
+- ``parse_kernel``: process-isolated fused-kernel scaling (route + both
+  extracts + NDJSON), the per-executor work unit with zero Spark overhead.
 
 Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...,
@@ -33,6 +48,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # dominates scheduling overhead at 32 cores)
 ROWS_PER_SF = 80_000_000
 BENCH_DATA_ROOT = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
+TIMED_RUNS = 3  # best-of: the box shows 1.5-4× run-to-run host noise
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -62,74 +78,73 @@ def _ensure_input(n_rows: int) -> str:
 
 
 def run_pipeline(input_path: str, cpus: int) -> dict:
-    """One timed pipeline run at local[cpus]. Reads parquet → parse → route
-    → enrich → per-sink aggregates → count actions. Returns timing dict."""
+    """One measured pipeline config at local[cpus], confined to ``cpus``
+    physical cores. Reads parquet → fused route+extract+NDJSON (ONE Arrow
+    stage) → broadcast enrich → per-sink/day/bucket aggregates, all as a
+    single Spark action."""
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))  # children inherit
+    except OSError:
+        pass
+
     from pyspark.sql import functions as F
 
-    from elb_pipeline.aggregate import sink_day_bucket_counts
-    from elb_pipeline.dialects import SINK_ALB, SINK_CLASSIC
+    from elb_pipeline.aggregate import conv_bucket
     from elb_pipeline.enrich import enrich
-    from elb_pipeline.parse import routed_dialect_json, with_sink
-    from elb_pipeline.session import get_spark
+    from elb_pipeline.parse import routed_json_both
+    from elb_pipeline.session import get_spark, perf_conf
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    heap = os.environ["SPARK_DRIVER_MEMORY"]
     spark = get_spark(
-        app=f"bench_pipeline_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app=f"bench_pipeline_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf=perf_conf(heap),
     )
     df = spark.read.parquet(input_path)
     n_rows = df.count()
 
     def full_run(frame):
-        """Complete reference semantics: route every line, extract every
-        valid line's fields, serialize its NDJSON, aggregate per sink.
-        (JSON output is reduced to sum(length) instead of written to disk
-        so the measurement is compute-bound, not disk-bound. No persist:
-        Spark's columnar cache is pathological on long text columns —
-        recomputing the match-only routing per pass is far cheaper.)"""
-        routed = enrich(with_sink(frame), spark).withColumn(
-            "ts_day", F.to_date("ts")
+        """Complete reference semantics in ONE action and ONE Python
+        stage: every line routed, every valid line's fields extracted and
+        serialized to reference-exact NDJSON, per-sink aggregates over the
+        enriched frame. (JSON output is reduced to sum(length) instead of
+        written to disk so the measurement is compute-bound; the raw text
+        column never crosses back to the JVM.)"""
+        routed = routed_json_both(
+            frame, keep_malformed_text=False,
+            passthrough=["conv_id", "role", "tool", "ts"],
         )
-        counts = (
-            sink_day_bucket_counts(routed)
+        enriched = enrich(routed, spark).withColumn("ts_day", F.to_date("ts"))
+        out = (
+            enriched.groupBy("sink", conv_bucket(), "ts_day")
+            .agg(F.count("*").alias("n"), F.sum(F.length("json")).alias("jb"))
             .groupBy("sink")
-            .agg(F.sum("n").alias("n"))
+            .agg(F.sum("n").alias("n"), F.sum("jb").alias("json_bytes"))
         )
-        text_only = frame.select("text")
-        branches = [counts]
-        for sink in (SINK_ALB, SINK_CLASSIC):
-            # fused Arrow op: route→filter→extract→NDJSON in one pass;
-            # text-only input minimizes the Python↔JVM boundary traffic
-            branches.append(
-                routed_dialect_json(text_only, sink)
-                .select(F.length("json").alias("l"))
-                .groupBy()
-                .agg(F.sum("l").alias("n"))
-                .select(F.lit(f"_{sink}_json_bytes").alias("sink"), "n")
-            )
-        # single action: all branches run in one job, so the Python worker
-        # pool stays hot across the whole measurement
-        out = branches[0]
-        for b in branches[1:]:
-            out = out.unionByName(b)
-        return {
-            r["sink"]: r["n"]
-            for r in out.collect()
-            if not r["sink"].startswith("_")
-        }
+        return {r["sink"]: r["n"] for r in out.collect()}
 
-    # untimed warm-up on a sample that spans ALL partitions: JIT, the full
-    # Python-worker pool spawn (each worker imports pyarrow/pandas once),
-    # and broadcast build are O(1) session costs, not per-row pipeline work
-    full_run(df.sample(0.03, seed=7))
+    # Warm-up: a sampled pass spawns the Python worker pool (each worker
+    # imports pyarrow/pandas once), then one FULL untimed pass faults in
+    # the fixed heap + the workers' retained Arrow pools at full batch
+    # sizes. Both are O(1) session costs, not per-row pipeline work.
+    full_run(df.sample(0.05, seed=7))
+    full_run(df)
 
-    t0 = time.monotonic()
-    sink_totals = full_run(df)
-    wall = time.monotonic() - t0
+    walls = []
+    sink_totals: dict = {}
+    for _ in range(TIMED_RUNS):
+        t0 = time.monotonic()
+        sink_totals = full_run(df)
+        walls.append(time.monotonic() - t0)
     spark.stop()
+    wall = min(walls)
     return {
         "cpus": cpus,
         "rows": n_rows,
         "wall_sec": wall,
+        "walls_all": [round(w, 3) for w in walls],
         "turns_per_sec": n_rows / wall,
         "sink_totals": sink_totals,
     }
@@ -142,30 +157,51 @@ def _run_subprocess(input_path: str, cpus: int) -> dict:
         capture_output=True,
         text=True,
         cwd=REPO,
-        timeout=1800,
+        timeout=3600,
     )
     if out.returncode != 0:
         raise RuntimeError(f"pipeline subprocess failed:\n{out.stderr[-4000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def kernel_scaling(n_rows: int = 100_000, procs=(1, 8, 32)) -> dict:
-    """Process-isolated scaling of the parse kernel (RE2 extract+match over
-    the golden line mix) — the per-executor work unit. On a real cluster,
-    N → 4N EXECUTORS adds independent machines, which this models far more
-    faithfully than thread-scaling inside one shared-memory JVM where the
-    parquet feed, Arrow IPC, and worker compute all contend for the same
-    cores. Deterministic (fixed line mix, fixed duration-free workload)."""
+def _pool_map(fn, args_list, procs: int) -> list:
     from multiprocessing import Pool
 
+    with Pool(procs) as pool:
+        return pool.map(fn, args_list)
+
+
+def kernel_scaling(n_rows: int = 100_000, procs=(1, 8, 32)) -> dict:
+    """Process-isolated scaling of the fused parse kernel — the
+    per-executor work unit. On a real cluster, N → 4N EXECUTORS adds
+    independent machines; this models that more faithfully than
+    thread-scaling inside one shared-memory JVM."""
     from elb_pipeline.bench_kernel import parse_kernel_rate
 
     out = {}
     for p in procs:
         if p > CPUS:
             continue
-        with Pool(p) as pool:
-            rates = pool.map(parse_kernel_rate, [n_rows] * p)
+        rates = _pool_map(parse_kernel_rate, [n_rows] * p, p)
+        out[str(p)] = round(sum(rates), 1)
+    ps = sorted(int(k) for k in out)
+    if len(ps) >= 2:
+        lo, hi = ps[-2], ps[-1]
+        out["efficiency"] = round((out[str(hi)] / out[str(lo)]) / (hi / lo), 3)
+    return out
+
+
+def cpu_probe(procs=(8, 32)) -> dict:
+    """Hardware-contention control: pure-CPU busy-loop scaling. Anything
+    below 1.0 here is the box (virtualization steal + shared caches), not
+    the pipeline."""
+    from elb_pipeline.bench_kernel import cpu_probe_rate
+
+    out = {}
+    for p in procs:
+        if p > CPUS:
+            continue
+        rates = _pool_map(cpu_probe_rate, [2.0] * p, p)
         out[str(p)] = round(sum(rates), 1)
     ps = sorted(int(k) for k in out)
     if len(ps) >= 2:
@@ -202,7 +238,8 @@ def main() -> None:
     high = _run_subprocess(input_path, CPUS)
     efficiency = (high["turns_per_sec"] / low["turns_per_sec"]) / (CPUS / n_low)
 
-    kernels = kernel_scaling()
+    kernels = kernel_scaling(procs=(1, n_low, CPUS))
+    probe = cpu_probe(procs=(n_low, CPUS))
     queries = run_query_suite(SF_DIR)
 
     result = {
@@ -214,15 +251,22 @@ def main() -> None:
         "rows": n_rows,
         "throughput_turns_per_sec": round(high["turns_per_sec"], 1),
         "scaling": {
+            "method": (
+                f"same job, same input; local[{n_low}] vs local[{CPUS}], each "
+                f"affinity-confined to that many cores; warm-up pass then "
+                f"best of {TIMED_RUNS}"
+            ),
             "cpus_low": n_low,
             "wall_sec_low": round(low["wall_sec"], 3),
+            "walls_low": low["walls_all"],
             "turns_per_sec_low": round(low["turns_per_sec"], 1),
             "cpus_high": CPUS,
             "wall_sec_high": round(high["wall_sec"], 3),
+            "walls_high": high["walls_all"],
             "turns_per_sec_high": round(high["turns_per_sec"], 1),
             "efficiency": round(efficiency, 3),
-            # process-isolated parse-kernel scaling: models N→4N EXECUTORS
-            # (independent machines) rather than threads sharing one box
+            # contention controls: what the BOX delivers at N→4N procs
+            "cpu_probe_loops_per_sec": probe,
             "parse_kernel_rows_per_sec": kernels,
         },
         "sink_totals": high["sink_totals"],

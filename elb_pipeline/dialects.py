@@ -302,7 +302,12 @@ def parse_line(text: str) -> tuple[str, dict[str, str | None] | None]:
     pandas UDF in parse.py.
     """
     for d in DIALECTS:
-        m = d.regex.match(text)
+        # fullmatch, not match: Python's $ also matches just before a
+        # trailing newline, so "line\n\n" would pass under match() while
+        # RE2 (the Arrow production path and the DuckDB oracle) rejects
+        # it. fullmatch closes that engine-divergence hole; the \x0A?$
+        # anchors stay harmless.
+        m = d.regex.fullmatch(text)
         if m:
             return d.name, dict(zip(d.fields, m.groups()))
     return SINK_MALFORMED, None

@@ -19,16 +19,16 @@ Scale design (the parts the reference cannot express):
   resumes at group granularity. On a real cluster the transcripts Iceberg
   table is bucket-partitioned by conv_id, making each group's scan prune
   to its own files; in local tests the filter is evaluated post-scan.
-- within a group the data is read ONCE: valid rows fan out to the alb /
-  classic_lb sinks in a single dynamic-partition write
-  (``partitionBy(sink, ts_day)``), with per-dialect field extraction and
-  NDJSON serialization inline in that same pass. No persist: caching the
-  routed frame measured pathological at scale (Spark's columnar cache
-  builder crawls on wide text columns), and recomputing the match-only
-  routing is far cheaper than materializing it.
-- malformed rows (the small minority) get a second, cheap pass that runs
-  the failed-position diagnosis only on them — the same error fast-path
-  asymmetry as the reference (alb.rs:199-203 allocates only on failure).
+- within a group the data is read ONCE and crosses the Python boundary
+  ONCE: a single fused Arrow operator (parse.routed_json_both) routes,
+  extracts, serializes NDJSON, and diagnoses dead letters, and all three
+  sinks land in one dynamic-partition write (``partitionBy(sink,
+  ts_day)``). No persist: caching the routed frame measured pathological
+  at scale (Spark's columnar cache builder crawls on wide text columns).
+- failed-position diagnosis (byte-exact, reference parse.rs:22-41
+  semantics) runs only on the malformed minority inside that same pass —
+  the reference's error fast-path asymmetry (alb.rs:199-203 allocates
+  only on failure).
 - aggregates and per-partition lineage are computed from the written
   output (parquet footer statistics make the counts metadata-cheap), so
   the manifest reflects what is actually on disk, not what was planned.
@@ -41,13 +41,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from elb_pipeline import checkpoint
 from elb_pipeline.aggregate import conv_bucket
 from elb_pipeline.dialects import SINK_ALB, SINK_CLASSIC, SINK_MALFORMED
-from elb_pipeline.deadletter import diagnosis
 from elb_pipeline.enrich import enrich
-from elb_pipeline.parse import routed_dialect_json, routed_filter
+from elb_pipeline.parse import routed_json_both
 
 
 class StrictModeError(RuntimeError):
@@ -79,10 +79,11 @@ def run_job(
     """Run the full pipeline over ``transcripts`` into ``output_dir``.
 
     Layout:
-      {out}/valid/group=G/sink=.../ts_day=.../   parquet; fields + NDJSON line
-      {out}/malformed/group=G/                   dead letter w/ diagnosis
-      {out}/aggregates/group=G/                  (sink, conv_bucket, ts_day, n)
-      {out}/_manifests/group-GGGG.json           commit marker + metrics
+      {out}/data/group=G/sink=.../ts_day=.../  parquet; NDJSON line for valid
+                                               sinks, raw text + byte-exact
+                                               diagnosis for sink=malformed
+      {out}/aggregates/group=G/                (sink, conv_bucket, ts_day, n)
+      {out}/_manifests/group-GGGG.json         commit marker + metrics
     """
     if mode not in ("skip", "strict"):
         raise ValueError(f"mode must be skip|strict, got {mode!r}")
@@ -106,6 +107,29 @@ def run_job(
     return result
 
 
+_WRITTEN_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("role_group", T.StringType()),
+        T.StructField("is_human", T.BooleanType()),
+        T.StructField("tool_family", T.StringType()),
+        T.StructField("is_io", T.BooleanType()),
+        T.StructField("src_partition", T.IntegerType()),
+        T.StructField("json", T.StringType()),
+        T.StructField("mal_text", T.StringType()),
+        T.StructField("nearest_dialect", T.StringType()),
+        T.StructField("fields_ok", T.IntegerType()),
+        T.StructField("failed_position", T.IntegerType()),
+        T.StructField("sink", T.StringType()),
+        T.StructField("ts_day", T.DateType()),
+    ]
+)
+
+
 def _run_group(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -116,50 +140,33 @@ def _run_group(
 ) -> None:
     rows = transcripts.where(_group_filter(n_groups, group))
 
-    base_cols = [
-        "conv_id", "turn_idx", "role", "tool", "ts",
-        "role_group", "is_human", "tool_family", "is_io", "src_partition",
-    ]
-
-    def _finish(df):
-        return enrich(df, spark).withColumn("ts_day", F.to_date("ts")).withColumn(
-            "src_partition", F.spark_partition_id()
-        )
-
-    # ---- pass 1 (the big one): per valid sink, ONE fused Arrow operator
-    # does route → in-batch filter → field extraction → NDJSON assembly, so
-    # only the surviving rows (+ their json line) ever cross back to the
-    # JVM; both sinks land in a single dynamic-partition write.
-    alb_rows = _finish(routed_dialect_json(rows, SINK_ALB)).select(
-        *base_cols, F.lit(SINK_ALB).alias("sink"), "ts_day", "json"
-    )
-    clb_rows = _finish(routed_dialect_json(rows, SINK_CLASSIC)).select(
-        *base_cols, F.lit(SINK_CLASSIC).alias("sink"), "ts_day", "json"
+    # ONE fused Arrow operator routes every line, extracts+serializes both
+    # valid dialects, keeps the raw text + byte-exact failed-position
+    # diagnosis for ONLY the malformed minority — a single Python-worker
+    # wave — then broadcast-enrich and a single dynamic-partition write
+    # fans all three sinks out by (sink, ts_day). No persist: caching the
+    # routed frame measured pathological at scale (Spark's columnar cache
+    # builder crawls on wide text columns).
+    routed = routed_json_both(rows, with_diag=True)
+    out = (
+        enrich(routed, spark)
+        .withColumn("ts_day", F.to_date("ts"))
+        .withColumn("src_partition", F.spark_partition_id())
     )
     (
-        alb_rows.unionByName(clb_rows)
+        out.select(*[f.name for f in _WRITTEN_SCHEMA.fields])
         .write.mode("overwrite")
         .partitionBy("sink", "ts_day")
-        .parquet(f"{output_dir}/valid/group={group}")
+        .parquet(f"{output_dir}/data/group={group}")
     )
 
-    # ---- pass 2 (small): dead letters with failed-position diagnosis —
-    # diagnosis runs ONLY on malformed rows (error fast-path asymmetry)
-    (
-        _finish(routed_filter(rows, SINK_MALFORMED))
-        .select(*base_cols, "ts_day", "text", diagnosis().alias("diag"))
-        .write.mode("overwrite")
-        .parquet(f"{output_dir}/{SINK_MALFORMED}/group={group}")
-    )
-
-    # ---- metrics from what actually landed on disk (footer-cheap counts)
-    written_valid = spark.read.parquet(f"{output_dir}/valid/group={group}")
-    written_mal = spark.read.parquet(f"{output_dir}/{SINK_MALFORMED}/group={group}")
-    written = written_valid.select("sink", "conv_id", "ts_day", "src_partition").unionByName(
-        written_mal.select(
-            F.lit(SINK_MALFORMED).alias("sink"), "conv_id", "ts_day", "src_partition"
-        )
-    )
+    # ---- metrics from what actually landed on disk (footer-cheap counts).
+    # Explicit schema: a group whose input was empty writes no part files,
+    # and a schema-less read of that directory would raise
+    # UNABLE_TO_INFER_SCHEMA — with the schema it is just an empty frame.
+    written = spark.read.schema(_WRITTEN_SCHEMA).parquet(
+        f"{output_dir}/data/group={group}"
+    ).select("sink", "conv_id", "ts_day", "src_partition")
 
     agg = written.groupBy("sink", conv_bucket(), "ts_day").agg(
         F.count("*").alias("n")

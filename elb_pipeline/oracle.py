@@ -69,6 +69,19 @@ def conv_bucket_sql(col: str = "conv_id", n_buckets: int = N_BUCKETS) -> str:
     return f"CAST(substring({col}, 6) AS INT) % {n_buckets}"
 
 
+def fields_ok_sql(dialect, text: str = "text") -> str:
+    """Leading-well-formed-field count as pure SQL: the cumulative prefix
+    predicates are monotone (prefix k ⇒ prefix k-1), so summing the 0/1
+    matches equals the max matching k — the same quantity
+    deadletter.fields_ok_arrow computes by vectorized binary search, here
+    recomputed independently by DuckDB's RE2."""
+    terms = []
+    for k in range(1, len(dialect.parts) + 1):
+        pat = "^(?:" + "".join(dialect.parts[:k]) + ")"
+        terms.append(f"(CASE WHEN regexp_matches({text}, {_sq(pat)}) THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def role_dim_cte() -> str:
     rows = ", ".join(
         f"({_sq(r)}, {_sq(g)}, {str(h).lower()})" for r, g, h in ROLE_DIM_ROWS

@@ -75,6 +75,41 @@ CLB_STRUCT_SCHEMA = T.StructType(
 
 _NULL_STR = pa.scalar(None, pa.string())
 
+_POOLS_PINNED = False
+
+
+def _pin_worker_pools() -> None:
+    """Pin per-worker native thread pools to 1.
+
+    Every Spark task slot runs its own Python worker; if each worker also
+    spins up pyarrow's default CPU/IO pools (= machine cores each), a
+    32-slot executor explodes into ~32×32 runnable threads and the Arrow
+    kernels start context-switch-thrashing instead of computing. One
+    worker == one core is the contract here; parallelism is Spark's job.
+    """
+    global _POOLS_PINNED
+    if _POOLS_PINNED:
+        return
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    except Exception:
+        pass
+    try:
+        # Keep jemalloc from handing freed batch memory back to the kernel
+        # between Arrow batches: with 32 workers munmap'ing ~30MB per batch,
+        # the TLB-shootdown IPIs put every core into ~90% system time
+        # (measured via vmstat on this box). Retaining the pool turns that
+        # into cheap in-process reuse.
+        pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass
+    import os
+
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    _POOLS_PINNED = True
+
 
 def _as_string_array(text: pa.Array) -> pa.Array:
     if isinstance(text, pa.ChunkedArray):
@@ -119,6 +154,7 @@ def with_sink(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_pools()
         for batch in batches:
             idx = batch.schema.get_field_index(text_col)
             sink = route_sink_arrow(batch.column(idx))
@@ -153,6 +189,7 @@ def routed_filter(df: DataFrame, sink: str, text_col: str = "text") -> DataFrame
     Arrow batch, so non-matching rows never cross back to the JVM."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_pools()
         for batch in batches:
             idx = batch.schema.get_field_index(text_col)
             mask = _sink_mask(_as_string_array(batch.column(idx)), sink)
@@ -187,6 +224,7 @@ def routed_dialect_json(
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_pools()
         for batch in batches:
             idx = batch.schema.get_field_index(text_col)
             mask = _sink_mask(_as_string_array(batch.column(idx)), dialect)
@@ -204,6 +242,143 @@ def routed_dialect_json(
             )
 
     return df.mapInArrow(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# fused BOTH-dialect route + extract + NDJSON — ONE Arrow pass, one stage
+# ---------------------------------------------------------------------------
+
+
+def _scatter(kept: pa.Array, mask: pa.BooleanArray) -> pa.Array:
+    """Scatter ``kept`` (len == mask.sum()) back to full length, null where
+    mask is false. take() with null indices is the Arrow-native scatter."""
+    m = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+    pos = np.cumsum(m) - 1
+    idx = pa.array(np.where(m, pos, 0), pa.int64(), mask=~m)
+    return kept.take(idx)
+
+
+def route_json_arrow(text: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(sink, json) for one Arrow string array, both dialects, one pass.
+
+    Work per line: ONE RE2 extract with the ALB grammar over every row
+    (extraction doubles as the validity test — measured cheaper than a
+    separate match pass followed by a 63%-selectivity extract), ONE RE2
+    extract with the Classic grammar over only the non-ALB remainder, and
+    C++-side NDJSON assembly on the matching subsets. Nothing else touches
+    the text. json is null for malformed rows.
+    """
+    from elb_pipeline.jsonout import arrow_ndjson
+
+    text = _as_string_array(text)
+    n = len(text)
+
+    alb_ext = pc.extract_regex(text, pattern=ALB_NAMED_PATTERN)
+    alb_ok = pc.is_valid(alb_ext)
+    rest_mask = pc.invert(alb_ok)
+
+    text_rest = text.filter(rest_mask)
+    clb_ext_rest = pc.extract_regex(text_rest, pattern=CLASSIC_NAMED_PATTERN)
+    clb_ok_rest = pc.is_valid(clb_ext_rest)
+    clb_ok = (
+        pc.fill_null(_scatter(clb_ok_rest, rest_mask), False)
+        if n
+        else pa.array([], pa.bool_())
+    )
+
+    sink = pc.if_else(
+        alb_ok,
+        pa.scalar(SINK_ALB),
+        pc.if_else(clb_ok, pa.scalar(SINK_CLASSIC), pa.scalar(SINK_MALFORMED)),
+    )
+
+    json_col = pa.nulls(n, pa.string())
+    if pc.any(alb_ok).as_py():
+        kept = alb_ext.filter(alb_ok)
+        children = list(kept.flatten())
+        tid_i = len(ALB_FIELDS) - 1
+        children[tid_i] = pc.if_else(
+            pc.equal(children[tid_i], pa.scalar("")), _NULL_STR, children[tid_i]
+        )
+        js = arrow_ndjson(list(ALB_FIELDS), children, optional_last=True)
+        json_col = pc.if_else(alb_ok, _scatter(js, alb_ok), json_col)
+    if pc.any(clb_ok_rest).as_py():
+        kept = clb_ext_rest.filter(clb_ok_rest)
+        js = arrow_ndjson(list(CLASSIC_FIELDS), list(kept.flatten()))
+        json_col = pc.if_else(clb_ok, _scatter(js, clb_ok), json_col)
+    return sink, json_col
+
+
+def routed_json_both(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_malformed_text: bool = True,
+    passthrough: list[str] | None = None,
+    with_diag: bool = False,
+) -> DataFrame:
+    """THE pipeline hot path: one ``mapInArrow`` stage that routes every
+    line, extracts+serializes both valid dialects, and emits
+    ``(passthrough..., sink, json, mal_text)`` — the raw ``text`` column
+    does NOT cross back to the JVM except for the malformed minority
+    (``mal_text``, for the dead-letter sink; null for valid rows).
+
+    ``with_diag`` additionally emits the dead-letter diagnosis columns
+    (nearest_dialect, fields_ok, failed_position — deadletter.py), computed
+    inside the same pass on ONLY the malformed rows (the reference's
+    error fast-path asymmetry: diagnosis work scales with the dead-letter
+    rate, not the input, alb.rs:199-203 / main.rs:230-245).
+
+    Replaces the round-1 three-stage shape (with_sink + 2×
+    routed_dialect_json): one Python-worker wave instead of three, and
+    ~2.5× less regex work per line.
+    """
+    cols = passthrough if passthrough is not None else [
+        c for c in df.columns if c != text_col
+    ]
+    src = df.select(*cols, text_col)
+    out_fields = [src.schema[c] for c in cols] + [
+        T.StructField("sink", T.StringType(), False),
+        T.StructField("json", T.StringType(), True),
+        T.StructField("mal_text", T.StringType(), True),
+    ]
+    names = [*cols, "sink", "json", "mal_text"]
+    if with_diag:
+        out_fields += [
+            T.StructField("nearest_dialect", T.StringType(), True),
+            T.StructField("fields_ok", T.IntegerType(), True),
+            T.StructField("failed_position", T.IntegerType(), True),
+        ]
+        names += ["nearest_dialect", "fields_ok", "failed_position"]
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_pools()
+        for batch in batches:
+            text = _as_string_array(batch.column(len(cols)))
+            sink, json_col = route_json_arrow(text)
+            mal_mask = pc.equal(sink, pa.scalar(SINK_MALFORMED))
+            if keep_malformed_text:
+                mal = pc.if_else(mal_mask, text, _NULL_STR)
+            else:
+                mal = pa.nulls(len(text), pa.string())
+            extra: list[pa.Array] = []
+            if with_diag:
+                from elb_pipeline.deadletter import diagnose_arrow
+
+                kept = text.filter(mal_mask)
+                if len(kept):
+                    extra = [_scatter(c, mal_mask) for c in diagnose_arrow(kept)]
+                else:
+                    extra = [
+                        pa.nulls(len(text), pa.string()),
+                        pa.nulls(len(text), pa.int32()),
+                        pa.nulls(len(text), pa.int32()),
+                    ]
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns[: len(cols)], sink, json_col, mal, *extra],
+                names=names,
+            )
+
+    return src.mapInArrow(gen, T.StructType(out_fields))
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +428,7 @@ def with_dialect_struct(
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_pools()
         for batch in batches:
             idx = batch.schema.get_field_index(text_col)
             children = extract(_as_string_array(batch.column(idx)))
@@ -310,6 +486,7 @@ def with_parsed(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_pools()
         for batch in batches:
             idx = batch.schema.get_field_index(text_col)
             sink, parsed = parse_arrow_text(batch.column(idx))
@@ -341,8 +518,11 @@ def parse_route_batch(text: pd.Series) -> pd.DataFrame:
     18k rows/s/core at 32 workers); kept as the reference implementation
     the Arrow path is asserted against, and for pandas-level unit tests.
     """
-    alb_match = ALB.regex.match
-    clb_match = CLASSIC.regex.match
+    # fullmatch, not match: Python's $ also matches before a trailing
+    # newline — fullmatch keeps the Python path byte-agreeing with RE2
+    # (Arrow path, DuckDB oracle) on "line\n\n" inputs.
+    alb_match = ALB.regex.fullmatch
+    clb_match = CLASSIC.regex.fullmatch
     n = len(text)
     sinks = np.empty(n, dtype=object)
     alb_pos: list[int] = []

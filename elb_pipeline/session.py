@@ -7,6 +7,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def perf_conf(heap: str = "24g") -> dict[str, str]:
+    """Extra confs for throughput-measured runs (bench / production job).
+
+    - Fixed heap (``-Xms`` == ``-Xmx``) + ``AlwaysPreTouch``: the heap is
+      faulted in once at startup instead of growing under load — measured
+      on this box, heap growth during the first big action put every core
+      into ~90% *system* time (page-fault + TLB-shootdown storms).
+    - ParallelGC with a large fixed young gen: the pipeline's garbage is
+      almost entirely short-lived Arrow→UnsafeRow buffers; a big eden
+      avoids promotion churn.
+    """
+    xmn = max(int(heap.rstrip("g")) // 2, 1)
+    return {
+        "spark.driver.extraJavaOptions": (
+            f"-Xms{heap} -Xmn{xmn}g -XX:+UseParallelGC -XX:+AlwaysPreTouch"
+        ),
+        "spark.python.worker.reuse": "true",
+    }
+
+
 def get_spark(
     app: str = "elb_pipeline",
     master: str | None = None,

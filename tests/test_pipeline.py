@@ -73,17 +73,20 @@ def test_job_end_to_end_and_resume(spark, transcripts, oracle_rows, tmp_path):
 
     # per-sink parquet row counts match the manifests (group=/sink=/ts_day=
     # read back as partition columns)
-    valid_df = spark.read.parquet(f"{out}/valid")
-    for sink in ("alb", "classic_lb"):
-        assert valid_df.where(F.col("sink") == sink).count() == want[sink]
-    assert spark.read.parquet(f"{out}/malformed").count() == want["malformed"]
+    data_df = spark.read.parquet(f"{out}/data")
+    for sink in ("alb", "classic_lb", "malformed"):
+        assert data_df.where(F.col("sink") == sink).count() == want[sink]
 
     # alb output carries the byte-exact json column
-    alb_df = valid_df.where(F.col("sink") == "alb")
+    alb_df = data_df.where(F.col("sink") == "alb")
     assert alb_df.where(F.col("json").startswith('{"type":"')).count() == want["alb"]
-    # dead letters carry diagnostics
-    mal = spark.read.parquet(f"{out}/malformed")
-    assert mal.where(F.col("diag.failed_position").isNotNull()).count() == want["malformed"]
+    # dead letters carry raw text + byte-exact diagnostics; valid rows don't
+    mal = data_df.where(F.col("sink") == "malformed")
+    assert mal.where(F.col("failed_position").isNotNull()).count() == want["malformed"]
+    assert mal.where(F.col("mal_text").isNotNull()).count() == want["malformed"]
+    assert data_df.where(
+        (F.col("sink") != "malformed") & F.col("mal_text").isNotNull()
+    ).count() == 0
 
     # resume: everything already committed → nothing re-runs
     res2 = run_job(spark, transcripts, out, mode="skip", n_groups=3)
@@ -97,6 +100,26 @@ def test_job_end_to_end_and_resume(spark, transcripts, oracle_rows, tmp_path):
     res3 = run_job(spark, transcripts, out, mode="skip", n_groups=3)
     assert res3.groups_run == [1] and sorted(res3.groups_skipped) == [0, 2]
     assert res3.sink_counts == dict(want)
+
+
+def test_job_all_malformed_input_survives_skip_mode(spark, transcripts, tmp_path):
+    """A group whose valid slice is empty must not crash the read-back
+    (dynamic-partition writes of empty frames emit no part files)."""
+    mal_only = with_sink(transcripts).where(F.col("sink") == "malformed").drop("sink")
+    res = run_job(spark, mal_only, str(tmp_path / "malonly"), mode="skip", n_groups=2)
+    assert res.sink_counts["alb"] == 0 and res.sink_counts["classic_lb"] == 0
+    assert res.sink_counts["malformed"] == mal_only.count()
+
+
+def test_job_empty_groups_survive(spark, transcripts, tmp_path):
+    """n_groups exceeding the distinct conv-bucket values leaves some
+    groups with zero rows of ANY kind; they must commit empty manifests."""
+    one_conv = transcripts.where(
+        F.col("conv_id") == transcripts.select("conv_id").first()["conv_id"]
+    )
+    res = run_job(spark, one_conv, str(tmp_path / "onecnv"), mode="skip", n_groups=4)
+    assert sorted(res.groups_run) == [0, 1, 2, 3]
+    assert sum(res.sink_counts.values()) == one_conv.count()
 
 
 def test_strict_mode_raises(spark, transcripts, tmp_path):
