@@ -15,7 +15,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elb_pipeline import dedup as D
 from elb_pipeline import oracle as O
+from elb_pipeline import simsearch as S
 from elb_pipeline.aggregate import (
     N_BUCKETS,
     conv_bucket,
@@ -42,7 +44,7 @@ from elb_pipeline.parse import (
     with_dialect_struct,
     with_sink,
 )
-from elb_pipeline.synth import transcripts_from_events
+from elb_pipeline.synth import transcripts_cached, transcripts_from_events
 
 
 # ---------------------------------------------------------------------------
@@ -50,9 +52,9 @@ from elb_pipeline.synth import transcripts_from_events
 # ---------------------------------------------------------------------------
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """transcripts (derived from events) → routed (sink column only —
-    field extraction is deferred to the queries that read fields)."""
-    return with_sink(transcripts_from_events(spark, sf_dir))
+    """transcripts (materialized once per sf_dir) → routed (sink column
+    only — field extraction is deferred to the queries that read fields)."""
+    return with_sink(transcripts_cached(spark, sf_dir))
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -140,7 +142,7 @@ def q_agg_salted(spark, sf_dir):
 
 def q_turn_order_check(spark, sf_dir):
     """Stable-(conv_id, turn_idx) invariant: turn_idx is dense 0..n-1."""
-    t = transcripts_from_events(spark, sf_dir)
+    t = transcripts_cached(spark, sf_dir)
     return t.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
         F.min("turn_idx").alias("min_turn"),
@@ -237,7 +239,14 @@ def q_event_types_except(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
+    """Exact dedup over doc_pool (documents + deterministically planted
+    duplicates — the raw table is dup-free at every sf, which made this
+    check vacuous in round 1). At 100 TB group on md5(text), not text,
+    to keep shuffle rows narrow; here text is the grouping key so the
+    oracle covers the exact-equality semantics itself."""
+    from elb_pipeline.dedup import doc_pool
+
+    d = doc_pool(_read(spark, sf_dir, "documents"))
     return d.groupBy("text").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
     ).select("keep_id", "n_copies")
@@ -291,6 +300,9 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_minhash_dup_groups(spark, sf_dir):
+    """Exact-ish dedup: docs whose FULL 4-signature minhash agrees (a
+    single band of width 4 — near-exact duplicates only; real banded
+    LSH with recall for merely-similar docs is minhash_lsh_pairs/groups)."""
     sigs = _minhash_sigs(_read(spark, sf_dir, "documents"))
     return (
         sigs.groupBy("sig0", "sig1", "sig2", "sig3")
@@ -298,6 +310,26 @@ def q_minhash_dup_groups(spark, sf_dir):
         .where(F.col("n_docs") > 1)
         .select("keep_id", "n_docs")
     )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded MinHash LSH (4 bands × 2 rows, word-3-gram shingles) over
+    doc_pool: candidate pairs from per-band bucket joins, verified with
+    exact shingle-set Jaccard — the linear-cost near-dup path for 100 TB
+    (dedup.py)."""
+    from elb_pipeline.dedup import doc_pool, verified_pairs, with_signatures
+
+    sigs = with_signatures(doc_pool(_read(spark, sf_dir, "documents")))
+    return verified_pairs(sigs)
+
+
+def q_minhash_lsh_groups(spark, sf_dir):
+    """Duplicate components: connected components over the verified LSH
+    pairs via iterative min-label propagation; group_id = min doc_id."""
+    from elb_pipeline.dedup import doc_pool, dup_groups, verified_pairs, with_signatures
+
+    sigs = with_signatures(doc_pool(_read(spark, sf_dir, "documents")))
+    return dup_groups(verified_pairs(sigs))
 
 
 # BPE-ish token classes: letter runs, digit runs, single punctuation
@@ -334,39 +366,15 @@ def q_lang_stopword_score(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Near-duplicate pairs by embedding cosine within a label block
-    (label equality as the blocking key — the scale path for pairwise
-    similarity; brute force only inside blocks)."""
-    emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label").alias("label"),
-        F.col("embedding").alias("a_e"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("label"),
-        F.col("embedding").alias("b_e"),
-    )
-    dot = F.aggregate(
-        F.zip_with("a_e", "b_e", lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    cos = dot / (norm("a_e") * norm("b_e"))
-    return (
-        a.join(b, "label")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("label", "a_id", "b_id", F.round(cos, 4).alias("cos_sim"))
-        .where(F.col("cos_sim") > 0.9)
-    )
+    """Near-duplicate pairs by embedding cosine, blocked by an SRP-LSH
+    bucket (8 sign-projection bits → expected block size n/256, no
+    skew-prone semantic blocking key, no all-pairs join). Runs over
+    emb_pool — the table plus planted clones — so the comparison covers
+    a non-empty result set (the raw table has no near-dups; round 1's
+    green on 0 rows was vacuous). simsearch.py."""
+    from elb_pipeline.simsearch import near_dup_pairs
+
+    return near_dup_pairs(_read(spark, sf_dir, "embeddings"))
 
 
 def _word_3grams():
@@ -409,25 +417,77 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _hi_bit_filter(k: int):
+    # factory keeps the lambda single-arg: a two-param lambda (even with a
+    # default) is interpreted by F.filter as the (element, index) variant
+    return lambda h: F.substring(h, k, 1).isin(*_HI_HEX)
+
+
+def _simhash_col(hs, n, nbits: int):
+    """nbits-wide SimHash from a precomputed md5-hex array ``hs`` (one md5
+    per element — round 1 recomputed it per bit): bit k = majority of hex
+    digit k's high bit across elements. md5 hex has 32 digits → nbits ≤ 32."""
+    acc = F.lit(0).cast("long")
+    for k in range(1, nbits + 1):
+        ones = F.size(F.filter(hs, _hi_bit_filter(k)))
+        acc = acc + F.when(ones * 2 > n, F.lit(1 << (k - 1)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
 def q_simhash16(spark, sf_dir):
-    """16-bit SimHash over tokens: bit k = majority of md5(token) hex-digit-k
-    high bits. Portable: both engines compute the same md5 hex."""
     d = _read(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
-    n = F.size(ws)
-    bits = []
-    for k in range(1, 17):
-        ones = F.size(
-            F.filter(
-                F.transform(ws, lambda t: F.substring(F.md5(t), k, 1)),
-                lambda c: c.isin("8", "9", "a", "b", "c", "d", "e", "f"),
-            )
+    hs = F.transform(ws, lambda t: F.md5(t))
+    return d.select(
+        "doc_id", _simhash_col(hs, F.size(ws), 16).cast("int").alias("simhash16")
+    )
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs over doc_pool: 32-bit SimHash of the word-
+    3-gram shingle set (16 bits collide by chance at n=1000; tokens from
+    a shared vocabulary make every doc similar), bucketed by hamming BAND
+    (4 bands × 8 bits — docs within hamming distance 3 share ≥1 intact
+    band), then verified with bit_count(xor) ≤ 3. Band-bucket joins keep
+    the candidate set linear at 100 TB; no all-pairs comparison."""
+    from elb_pipeline.dedup import _shingles, doc_pool
+
+    sg = _shingles()
+    hs = F.transform(sg, lambda s: F.md5(s))
+    pool = doc_pool(_read(spark, sf_dir, "documents")).select(
+        "doc_id", _simhash_col(hs, F.size(sg), 32).alias("sh")
+    )
+    bands = pool.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("sh", 8 * b).bitwiseAND(F.lit(255)).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "sh", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int").alias("hamming"),
         )
-        bits.append(F.when(ones * 2 > n, F.lit(1 << (k - 1))).otherwise(F.lit(0)))
-    acc = bits[0]
-    for b in bits[1:]:
-        acc = acc + b
-    return d.select("doc_id", acc.cast("int").alias("simhash16"))
+        .distinct()
+        .where(F.col("hamming") <= 3)
+    )
 
 
 def q_media_inventory(spark, sf_dir):
@@ -446,7 +506,10 @@ def q_media_inventory(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Stubbed decode → deterministic feature vectors (rows-only check)."""
+    """Stubbed decode → deterministic md5-derived feature vectors. The
+    oracle recomputes the same values from md5 hex digits in SQL, so this
+    is a value-level check of the decode plumbing (round 1 was rows-only,
+    and its sq-norm projection was constantly 1.0 — vacuous)."""
     from elb_pipeline.multimodal import decode_features, media_from_documents
 
     f = decode_features(media_from_documents(spark, sf_dir))
@@ -454,11 +517,8 @@ def q_media_features(spark, sf_dir):
         "media_id",
         "kind",
         "n_bytes",
-        F.round(F.aggregate(
-            F.transform("features", lambda x: x.cast("double") * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ), 4).alias("feat_sq_norm"),
+        F.round(F.element_at("features", 1), 6).alias("feat0"),
+        F.round(F.element_at("features", 8), 6).alias("feat7"),
     )
 
 
@@ -494,11 +554,33 @@ def q_ann_cosine_topk(spark, sf_dir):
         )
     )
     cos = dot / (norm * F.lit(qnorm))
+    # order by the UNROUNDED cosine (mirrors the oracle's ORDER BY) so the
+    # row selected at the limit boundary can't differ past the 4th decimal
     return (
         emb.where(F.col("vec_id") != 0)
-        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
         .limit(10)
+        .select("vec_id", F.round(F.col("cos"), 4).alias("cos_sim"))
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN: assign vectors to their nearest of 7 fixed pivots
+    (broadcast cross-join), probe only the query's inverted list — the
+    plan scans ~n/K rows instead of n (simsearch.py)."""
+    from elb_pipeline.simsearch import ann_ivf_topk
+
+    return ann_ivf_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall of the IVF probe against the exact brute-force top-10."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    overlap = exact.join(ivf, "vec_id").count()
+    return spark.createDataFrame(
+        [(overlap, round(overlap / 10.0, 4))], "n_overlap bigint, recall double"
     )
 
 
@@ -527,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dup_groups": q_minhash_dup_groups,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_groups": q_minhash_lsh_groups,
+        "simhash_near_dup": q_simhash_near_dup,
         "token_count_bpe": q_token_count_bpe,
         "lang_stopword_score": q_lang_stopword_score,
         "embedding_near_dup": q_embedding_near_dup,
@@ -538,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": q_media_resize_plan,
         "media_frame_sample": q_media_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
     }
 
 
@@ -545,6 +632,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB) — one per query above (dead_letter_diag intentionally
 # omitted: python-prefix diagnostics are not SQL-expressible)
 # ---------------------------------------------------------------------------
+
+_EXACT_ANN_SQL = (
+    "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, round(list_cosine_similarity(embedding, q.qe), 4) "
+    "AS cos_sim FROM embeddings, q WHERE vec_id <> 0 "
+    "ORDER BY list_cosine_similarity(embedding, q.qe) DESC, vec_id LIMIT 10"
+)
+
+
+def _simhash_sql(nbits: int, sql_type: str = "INT") -> str:
+    """Hash-once SimHash as SQL over (ws, hs) columns — ws the element
+    array, hs its per-element md5 hex array."""
+    return (
+        "CAST("
+        + " + ".join(
+            "(CASE WHEN 2 * length(list_filter(hs, "
+            f"h -> substr(h, {k}, 1) IN "
+            "('8','9','a','b','c','d','e','f'))) > length(ws) "
+            f"THEN {1 << (k - 1)} ELSE 0 END)"
+            for k in range(1, nbits + 1)
+        )
+        + f" AS {sql_type})"
+    )
+
+
+_TOKENIZE_SQL = (
+    "string_split(text, ' ') AS ws, "
+    "list_transform(string_split(text, ' '), t -> md5(t)) AS hs"
+)
+
 
 def _file_corpus_oracle_sql() -> str:
     """DuckDB independently re-reads the same gzip/plain log files
@@ -659,8 +776,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT event_type FROM events WHERE value > 150"
         ),
         "dedup_exact": (
+            f"WITH {D.doc_pool_cte()} "
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
-            "FROM documents GROUP BY text"
+            "FROM doc_pool GROUP BY text"
+        ),
+        "minhash_lsh_pairs": (
+            f"WITH {D.doc_pool_cte()}, {D.signatures_cte()}, "
+            f"{D.lsh_candidates_cte()}, {D.verified_pairs_cte()} "
+            "SELECT a_id, b_id, jaccard FROM pairs"
+        ),
+        "minhash_lsh_groups": (
+            f"WITH RECURSIVE {D.doc_pool_cte()}, {D.signatures_cte()}, "
+            f"{D.lsh_candidates_cte()}, {D.verified_pairs_cte()}"
+            + D.dup_groups_sql_tail()
+        ),
+        "simhash_near_dup": (
+            f"WITH {D.doc_pool_cte()}, "
+            "shingled AS (SELECT doc_id, "
+            f"{D._SHINGLES_SQL} AS sg "
+            "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM doc_pool)), "
+            "tok AS (SELECT doc_id, sg AS ws, "
+            "list_transform(sg, s -> md5(s)) AS hs FROM shingled), "
+            f"sh AS (SELECT doc_id, {_simhash_sql(32, 'BIGINT')} AS sh FROM tok), "
+            "bands AS (SELECT doc_id, sh, t.b, (sh >> CAST(8 * t.b AS INT)) & 255 AS val "
+            "FROM sh, range(4) t(b)) "
+            "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming "
+            "FROM bands a JOIN bands b ON a.b = b.b AND a.val = b.val "
+            "AND a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sh, b.sh)) <= 3"
         ),
         "doc_quality": (
             "SELECT doc_id, lang, length(text) AS len_chars, "
@@ -711,13 +855,13 @@ def oracle_sql() -> dict[str, str]:
             + ")) >= 3 AS looks_english "
             "FROM w"
         ),
-        "embedding_near_dup": (
-            "SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id, "
-            "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim "
-            "FROM embeddings a JOIN embeddings b ON a.label = b.label "
-            "AND a.vec_id < b.vec_id "
-            "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) > 0.9"
-        ),
+        "embedding_near_dup": S.near_dup_pairs_sql(),
+        "ann_ivf_topk": S.ann_ivf_sql(),
+        "ann_ivf_recall": (
+            f"WITH exact AS ({_EXACT_ANN_SQL}), ivf AS ({{ivf}}) "
+            "SELECT count(*) AS n_overlap, round(count(*) / 10.0, 4) AS recall "
+            "FROM exact JOIN ivf USING (vec_id)"
+        ).format(ivf=S.ann_ivf_sql()),
         "ngram_profile": (
             "WITH g AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
             "SELECT doc_id, "
@@ -735,16 +879,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM g"
         ),
         "simhash16": (
-            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
-            "SELECT doc_id, CAST("
-            + " + ".join(
-                "(CASE WHEN 2 * length(list_filter(ws, "
-                f"t -> substr(md5(t), {k}, 1) IN "
-                "('8','9','a','b','c','d','e','f'))) > length(ws) "
-                f"THEN {1 << (k - 1)} ELSE 0 END)"
-                for k in range(1, 17)
-            )
-            + " AS INT) AS simhash16 FROM w"
+            f"WITH w AS (SELECT doc_id, {_TOKENIZE_SQL} FROM documents) "
+            f"SELECT doc_id, {_simhash_sql(16)} AS simhash16 FROM w"
         ),
         "media_inventory": (
             "SELECT doc_id AS media_id, "
@@ -755,6 +891,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(8000 + (n_chars % 5) * 8000 AS INT) AS sample_rate, "
             "CAST(n_chars % 30 + 2 AS INT) AS n_frames "
             "FROM documents"
+        ),
+        "media_features": (
+            "WITH raw AS (SELECT doc_id AS media_id, "
+            "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind, "
+            "CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+            + ", ".join(
+                f"CAST(concat('0x', substr(md5(text), {4 * i + 1}, 4)) AS INTEGER)"
+                f" / 65535.0 AS r{i}"
+                for i in range(8)
+            )
+            + " FROM documents), "
+            "n AS (SELECT *, sqrt("
+            + " + ".join(f"r{i} * r{i}" for i in range(8))
+            + ") AS nrm FROM raw) "
+            "SELECT media_id, kind, n_bytes, "
+            "round(r0 / nrm, 6) AS feat0, round(r7 / nrm, 6) AS feat7 FROM n"
         ),
         "media_resize_plan": (
             "WITH m AS (SELECT doc_id AS media_id, "
@@ -778,10 +930,5 @@ def oracle_sql() -> dict[str, str]:
             "CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx "
             "FROM m WHERE kind = 'video'"
         ),
-        "ann_cosine_topk": (
-            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
-            "SELECT vec_id, round(list_cosine_similarity(embedding, q.qe), 4) "
-            "AS cos_sim FROM embeddings, q WHERE vec_id <> 0 "
-            "ORDER BY list_cosine_similarity(embedding, q.qe) DESC, vec_id LIMIT 10"
-        ),
+        "ann_cosine_topk": _EXACT_ANN_SQL,
     }

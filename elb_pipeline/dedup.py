@@ -1,0 +1,257 @@
+"""Text deduplication operators (exact, MinHash-LSH banded, SimHash) with
+their DuckDB oracle twins.
+
+The driver's ``documents`` table is duplicate-free (500 distinct texts at
+every sf), which made round-1's dedup checks vacuously green. Every
+operator here therefore runs over ``doc_pool``: the documents table plus
+deterministically planted duplicates derived from it —
+
+- exact dups:  doc_id+100000, same text,            for doc_id % 11 == 0
+- near dups:   doc_id+200000, text + 4-token tail,  for doc_id % 13 == 0
+
+Both derivations are single deterministic expressions, so the DuckDB
+oracle re-plants the same pool independently and the comparison covers
+real non-empty duplicate sets.
+
+Scale notes (100 TB):
+- banded MinHash-LSH is the linear-cost path: per row b·r shingle-min
+  hashes (one md5 per shingle per seed), candidate pairs come from b
+  bucket-joins on band keys (shuffle on band hash — uniform by
+  construction), and only candidates pay the exact-Jaccard verification.
+  No all-pairs block ever forms.
+- connected components uses iterative min-label propagation (a driver
+  loop of self-joins — Pregel shape). Dup components are tiny (dup
+  cliques), so it converges in O(log component-diameter) ≈ 2-3 rounds;
+  each round is one shuffle on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EXACT_MOD = 11
+NEAR_MOD = 13
+EXACT_OFFSET = 100_000
+NEAR_OFFSET = 200_000
+NEAR_TAIL = " zq near dup marker"
+
+N_BANDS = 4
+ROWS_PER_BAND = 2
+N_SIGS = N_BANDS * ROWS_PER_BAND  # 8 minhash signatures
+JACCARD_THRESHOLD = 0.5
+
+
+# ---------------------------------------------------------------------------
+# shared pool (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+def doc_pool(documents: DataFrame) -> DataFrame:
+    base = documents.select("doc_id", "text")
+    exact = (
+        documents.where(F.col("doc_id") % EXACT_MOD == 0)
+        .select((F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text")
+    )
+    near = (
+        documents.where(F.col("doc_id") % NEAR_MOD == 0)
+        .select(
+            (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+        )
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def doc_pool_cte() -> str:
+    return (
+        "doc_pool AS ("
+        "SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {EXACT_OFFSET}, text FROM documents "
+        f"WHERE doc_id % {EXACT_MOD} = 0 "
+        f"UNION ALL SELECT doc_id + {NEAR_OFFSET}, text || '{NEAR_TAIL}' "
+        f"FROM documents WHERE doc_id % {NEAR_MOD} = 0)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (word-3-gram shingles) + banded LSH + Jaccard verify
+#
+# Shingles, not raw tokens: documents drawn from a shared vocabulary have
+# near-identical token SETS (token-level Jaccard ≳0.5 for most pairs —
+# measured 108k/586k pairs passing on the sf0.01 pool), while 3-gram
+# shingle sets are order-sensitive and distinctive, so only genuine
+# duplicates/near-duplicates collide.
+# ---------------------------------------------------------------------------
+
+def _shingles():
+    """Array of word-3-gram strings (engine-portable: 1-based indexing)."""
+    ws = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    # sequence(1, n) descends when n < 1 — guard short docs to empty
+    return F.when(F.size(ws) >= 3, grams).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = (
+    "[ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "FOR i IN range(1, greatest(length(ws) - 2, 0) + 1)]"
+)
+
+
+def _sig(seed: str):
+    # factory keeps the lambda single-arg: a two-param lambda would be
+    # interpreted by F.transform as the (element, index) variant
+    return F.array_min(
+        F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(seed))))
+    )
+
+
+def with_signatures(pool: DataFrame) -> DataFrame:
+    sigs = [_sig(f"#{i}").alias(f"sig{i}") for i in range(N_SIGS)]
+    return pool.select("doc_id", "text", _shingles().alias("sh")).select(
+        "doc_id", "text", "sh", *sigs
+    )
+
+
+def signatures_cte() -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{i}'))) AS sig{i}"
+        for i in range(N_SIGS)
+    )
+    return (
+        "shingled AS (SELECT doc_id, text, "
+        f"{_SHINGLES_SQL} AS sh "
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM doc_pool)), "
+        f"sigs AS (SELECT doc_id, text, sh, {sigs} FROM shingled)"
+    )
+
+
+def _band_key(b: int):
+    cols = [F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+    return F.md5(F.concat(*cols))
+
+
+def _band_key_sql(b: int) -> str:
+    cols = " || ".join(f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    return f"md5({cols})"
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Distinct (a_id, b_id) candidate pairs: two docs agreeing on ALL
+    rows of at least one band. One bucket-join per band, unioned."""
+    parts = []
+    for b in range(N_BANDS):
+        keyed = sigs.select("doc_id", _band_key(b).alias("bk"))
+        left = keyed.select(F.col("doc_id").alias("a_id"), "bk")
+        right = keyed.select(F.col("doc_id").alias("b_id"), "bk")
+        parts.append(
+            left.join(right, "bk").where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def lsh_candidates_cte() -> str:
+    parts = []
+    for b in range(N_BANDS):
+        cols_a = " || ".join(
+            f"a.sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        cols_b = " || ".join(
+            f"b.sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        parts.append(
+            f"SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a "
+            f"JOIN sigs b ON md5({cols_a}) = md5({cols_b}) "
+            "AND a.doc_id < b.doc_id"
+        )
+    return "cands AS (" + " UNION ".join(parts) + ")"
+
+
+def verified_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH candidates that pass the exact shingle-set Jaccard check."""
+    cands = lsh_candidate_pairs(sigs)
+    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    sa = F.array_distinct(F.col("a_sh"))
+    sb = F.array_distinct(F.col("b_sh"))
+    jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
+    return (
+        cands.join(a, "a_id").join(b, "b_id")
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def verified_pairs_cte() -> str:
+    jac = (
+        "CAST(length(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))"
+        " AS DOUBLE) / length(list_distinct(a.sh || b.sh))"
+    )
+    return (
+        "pairs AS (SELECT c.a_id, c.b_id, round(" + jac + ", 4) AS jaccard "
+        "FROM cands c JOIN sigs a ON a.doc_id = c.a_id "
+        "JOIN sigs b ON b.doc_id = c.b_id "
+        f"WHERE round({jac}, 4) >= {JACCARD_THRESHOLD})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components → dup groups
+# ---------------------------------------------------------------------------
+
+def dup_groups(pairs: DataFrame) -> DataFrame:
+    """(doc_id, group_id) for every doc in a verified pair; group_id is the
+    min doc_id of its connected component (iterative min-label
+    propagation — converges in O(log diameter) rounds)."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    while True:
+        # neighbor-min pass: label(node) ← min(label(node), min over
+        # neighbors' labels). Small frames here; at scale each round is
+        # one shuffle and the loop is a driver-side fixpoint check.
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(edges.src.alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label").unionByName(nbr)
+            .groupBy("node").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def dup_groups_sql_tail() -> str:
+    """Recursive transitive closure → min reachable id per node (the
+    oracle twin of the iterative propagation)."""
+    return (
+        ", sym AS (SELECT a_id AS src, b_id AS dst FROM pairs "
+        "UNION SELECT b_id, a_id FROM pairs), "
+        "reach AS (SELECT src, dst FROM sym "
+        "UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src) "
+        "SELECT src AS doc_id, least(src, min(dst)) AS group_id "
+        "FROM reach GROUP BY src"
+    )

@@ -86,7 +86,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        # doubles, not floats: the md5-derived stub values are exact in
+        # IEEE double on both engines, giving the DuckDB oracle value-level
+        # (not just rows-only) comparability
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 

@@ -54,6 +54,22 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transcripts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transcripts_from_events`` materialized once per sf_dir and read
+    back from parquet — the production shape (transcripts are a TABLE, not
+    a per-query window re-derivation). Queries that consume transcripts
+    use this so per-query timings measure the operator, not the shared
+    derivation; ``transcripts_build`` still exercises the derivation
+    itself."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/elb_transcripts_cache_v2_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def synth_transcripts(
     spark: SparkSession,
     n_rows: int,
