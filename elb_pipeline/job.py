@@ -4,11 +4,15 @@ Observable semantics mirror the reference CLI (main.rs:67-212):
 
 - parse-or-reject per line (alb.rs:199-203 / classic_lb.rs:109-113) →
   routed to three sinks instead of stdout/stderr;
-- ``skip`` vs ``strict`` error policy = the ``--skip-parse-errors`` flag
-  (main.rs:53-54, 194-203): strict raises if ANY line is malformed, skip
-  routes them to the dead-letter sink and continues (like the reference,
-  strict failure can leave partial output behind — the CLI too has already
-  emitted parsed lines to stdout when it aborts);
+- error policy = the ``--skip-parse-errors`` flag (main.rs:53-54,
+  194-203), three modes: ``skip`` routes malformed lines to the
+  dead-letter sink and continues; ``strict`` raises after the group
+  commits if ANY line was malformed (counts come from disk); and
+  ``strict-fast`` reproduces the reference exactly — the fused parse
+  operator aborts the task at the FIRST malformed line with the
+  reference's error text (parse.rs:8). Like the CLI, both strict modes
+  can leave partial output behind (the CLI has already emitted parsed
+  lines to stdout when it aborts);
 - NDJSON output per valid sink, byte-identical to serde_json.
 
 Scale design (the parts the reference cannot express):
@@ -85,8 +89,8 @@ def run_job(
       {out}/aggregates/group=G/                (sink, conv_bucket, ts_day, n)
       {out}/_manifests/group-GGGG.json         commit marker + metrics
     """
-    if mode not in ("skip", "strict"):
-        raise ValueError(f"mode must be skip|strict, got {mode!r}")
+    if mode not in ("skip", "strict", "strict-fast"):
+        raise ValueError(f"mode must be skip|strict|strict-fast, got {mode!r}")
     t0 = time.monotonic()
     result = JobResult()
 
@@ -147,18 +151,32 @@ def _run_group(
     # fans all three sinks out by (sink, ts_day). No persist: caching the
     # routed frame measured pathological at scale (Spark's columnar cache
     # builder crawls on wide text columns).
-    routed = routed_json_both(rows, with_diag=True)
+    routed = routed_json_both(
+        rows, with_diag=True, fail_fast=(mode == "strict-fast")
+    )
     out = (
         enrich(routed, spark)
         .withColumn("ts_day", F.to_date("ts"))
         .withColumn("src_partition", F.spark_partition_id())
     )
-    (
-        out.select(*[f.name for f in _WRITTEN_SCHEMA.fields])
-        .write.mode("overwrite")
-        .partitionBy("sink", "ts_day")
-        .parquet(f"{output_dir}/data/group={group}")
-    )
+    try:
+        (
+            out.select(*[f.name for f in _WRITTEN_SCHEMA.fields])
+            .write.mode("overwrite")
+            .partitionBy("sink", "ts_day")
+            .parquet(f"{output_dir}/data/group={group}")
+        )
+    except Exception as exc:  # noqa: BLE001 — py4j wraps the task failure
+        # strict-fast: the fused operator aborted the task at the first
+        # malformed line (reference main.rs:194-203); surface it as the
+        # job-level strict error with the reference's message.
+        msg = str(exc)
+        if mode == "strict-fast" and "ParseAbort: Invalid log line:" in msg:
+            # take the exception line itself, not the quoted UDF source
+            # that py4j also embeds in the traceback text
+            line = msg.rsplit("ParseAbort: Invalid log line:", 1)[1].splitlines()[0].strip()
+            raise StrictModeError(f"Invalid log line: {line}") from None
+        raise
 
     # ---- metrics from what actually landed on disk (footer-cheap counts).
     # Explicit schema: a group whose input was empty writes no part files,

@@ -75,6 +75,13 @@ CLB_STRUCT_SCHEMA = T.StructType(
 
 _NULL_STR = pa.scalar(None, pa.string())
 
+
+class ParseAbort(RuntimeError):
+    """Raised inside the fused operator in fail-fast mode on the first
+    malformed line — the reference's ParseLogError::InvalidLogFormat
+    (parse.rs:7-10) surfaced through a failing Spark task."""
+
+
 _POOLS_PINNED = False
 
 
@@ -315,6 +322,7 @@ def routed_json_both(
     keep_malformed_text: bool = True,
     passthrough: list[str] | None = None,
     with_diag: bool = False,
+    fail_fast: bool = False,
 ) -> DataFrame:
     """THE pipeline hot path: one ``mapInArrow`` stage that routes every
     line, extracts+serializes both valid dialects, and emits
@@ -356,6 +364,14 @@ def routed_json_both(
             text = _as_string_array(batch.column(len(cols)))
             sink, json_col = route_json_arrow(text)
             mal_mask = pc.equal(sink, pa.scalar(SINK_MALFORMED))
+            if fail_fast and pc.any(mal_mask).as_py():
+                # reference strict semantics: abort at the FIRST malformed
+                # line mid-stream (main.rs:194-203), with the reference's
+                # error text (parse.rs:8). Earlier batches' output may
+                # already be emitted — exactly like the CLI, which has
+                # already written parsed lines to stdout when it aborts.
+                first = text.filter(mal_mask)[0].as_py()
+                raise ParseAbort(f"Invalid log line: {first}")
             if keep_malformed_text:
                 mal = pc.if_else(mal_mask, text, _NULL_STR)
             else:

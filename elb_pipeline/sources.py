@@ -66,6 +66,47 @@ def read_log_corpus(
 
 
 # ---------------------------------------------------------------------------
+# Iceberg transcripts source (target-mandated input shape) — GATED
+# ---------------------------------------------------------------------------
+
+# Exact session conf an Iceberg deployment needs (the runtime jar is not in
+# this image, so the reader below degrades with a clear error; everything
+# else in the pipeline consumes a plain DataFrame and does not care whether
+# it came from Iceberg, parquet, or readStream). For Spark 4.x use the
+# iceberg-spark-runtime-4.0 artifact; for Spark 3.5, *_3.5_2.12/2.13.
+ICEBERG_CONF: dict[str, str] = {
+    "spark.sql.extensions": (
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+    ),
+    "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+    "spark.sql.catalog.lake.type": "hadoop",  # or rest/glue/hive per deployment
+    "spark.sql.catalog.lake.warehouse": "s3://<bucket>/warehouse",
+    "spark.jars.packages": (
+        "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>"
+    ),
+}
+
+
+def read_transcripts_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read the transcripts Iceberg table (e.g. ``lake.ai.transcripts``).
+
+    At 100 TB this is the production source: Iceberg partition pruning +
+    file skipping feed the conv_id bucket groups (job.py reads one bucket
+    group per commit unit), and its manifests do the file listing the raw
+    walker above does for loose files. Requires ICEBERG_CONF on the
+    session; without the runtime jar the error says exactly that instead
+    of an opaque ClassNotFound."""
+    try:
+        return spark.read.table(table)
+    except Exception as exc:  # pragma: no cover - jar absent in this image
+        raise RuntimeError(
+            f"cannot read table {table!r} — if this is an Iceberg table, "
+            "build the session with elb_pipeline.sources.ICEBERG_CONF "
+            "(iceberg-spark-runtime jar + catalog conf)"
+        ) from exc
+
+
+# ---------------------------------------------------------------------------
 # deterministic corpus fixture (tests + driver oracle)
 # ---------------------------------------------------------------------------
 

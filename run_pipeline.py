@@ -24,7 +24,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", help="transcripts table name (e.g. Iceberg)")
     p.add_argument("--synth-rows", type=int, help="synthesize N transcript rows")
     p.add_argument("--output", required=True)
-    p.add_argument("--mode", choices=["skip", "strict"], default="skip")
+    p.add_argument(
+        "--mode", choices=["skip", "strict", "strict-fast"], default="skip"
+    )
     p.add_argument("--groups", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
@@ -35,7 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app="elb_pipeline_job")
     try:
         if args.table:
-            transcripts = spark.read.table(args.table)
+            from elb_pipeline.sources import read_transcripts_table
+
+            transcripts = read_transcripts_table(spark, args.table)
         elif args.input:
             transcripts = spark.read.parquet(args.input)
         elif args.synth_rows:

@@ -127,6 +127,32 @@ def test_strict_mode_raises(spark, transcripts, tmp_path):
         run_job(spark, transcripts, str(tmp_path / "strict"), mode="strict", n_groups=1)
 
 
+def test_strict_fast_mode_aborts_with_reference_error(spark, transcripts, tmp_path):
+    """strict-fast reproduces the reference exactly: the parse stage aborts
+    at the first malformed line with ParseLogError's message text
+    (parse.rs:8, main.rs:194-203)."""
+    malformed_texts = {
+        r["text"]
+        for r in with_sink(transcripts).where(F.col("sink") == "malformed")
+        .select("text").collect()
+    }
+    with pytest.raises(StrictModeError, match="Invalid log line: ") as exc:
+        run_job(
+            spark, transcripts, str(tmp_path / "sf"), mode="strict-fast", n_groups=1
+        )
+    # the message must carry the ACTUAL malformed line (not UDF source text
+    # that py4j also embeds in the traceback)
+    reported = str(exc.value).split("Invalid log line: ", 1)[1]
+    assert reported in malformed_texts
+
+
+def test_strict_fast_clean_input_passes(spark, transcripts, tmp_path):
+    clean = with_sink(transcripts).where(F.col("sink") != "malformed").drop("sink")
+    res = run_job(spark, clean, str(tmp_path / "sfc"), mode="strict-fast", n_groups=1)
+    assert res.sink_counts["malformed"] == 0
+    assert res.sink_counts["alb"] > 0
+
+
 def test_strict_mode_clean_input_passes(spark, transcripts, tmp_path):
     clean = with_sink(transcripts).where(F.col("sink") != "malformed").drop("sink")
     res = run_job(spark, clean, str(tmp_path / "clean"), mode="strict", n_groups=1)
