@@ -490,6 +490,83 @@ def q_simhash_near_dup(spark, sf_dir):
     )
 
 
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def q_text_normalize(spark, sf_dir):
+    """Normalization pass a training pipeline runs before dedup/tokenize:
+    lowercase + whitespace collapse + trim (engine-portable expressions)."""
+    d = _read(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over the transcripts' log lines: IPv4 addresses →
+    '<IP>' (the grammars guarantee real hits), with a redaction count per
+    turn. regexp_replace replaces ALL matches on both engines."""
+    t = transcripts_cached(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_count(F.col("text"), F.lit(_IP_RE)).alias("n_ips"),
+        F.regexp_replace(F.col("text"), _IP_RE, "<IP>").alias("scrubbed"),
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary building: global token frequencies, top 50 (ties broken
+    lexicographically) — the explode→groupBy shape whose shuffle is the
+    token hash, uniform by construction."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling by lang: keep docs whose
+    md5(doc_id) first hex digit < '3' (≈3/16 rate) — reproducible across
+    engines and runs, no RNG."""
+    d = _read(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep.cast("int")).alias("n_sampled"),
+    )
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination screen: per-document count of word-3-gram
+    shingles shared with the 'benchmark set' (docs 0-9). At scale the
+    benchmark shingle set is small → broadcast join; candidate docs are
+    whatever overlaps, no all-pairs work."""
+    from elb_pipeline.dedup import _shingles
+
+    d = _read(spark, sf_dir, "documents")
+    shingled = d.select("doc_id", F.explode(_shingles()).alias("s")).distinct()
+    bench = (
+        shingled.where(F.col("doc_id") < 10).select("s").distinct()
+    )
+    return (
+        shingled.where(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
 def q_media_inventory(spark, sf_dir):
     from elb_pipeline.multimodal import media_from_documents
 
@@ -612,6 +689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_groups": q_minhash_lsh_groups,
         "simhash_near_dup": q_simhash_near_dup,
+        "text_normalize": q_text_normalize,
+        "pii_scrub": q_pii_scrub,
+        "vocab_topk": q_vocab_topk,
+        "stratified_sample": q_stratified_sample,
+        "contamination_check": q_contamination_check,
         "token_count_bpe": q_token_count_bpe,
         "lang_stopword_score": q_lang_stopword_score,
         "embedding_near_dup": q_embedding_near_dup,
@@ -881,6 +963,38 @@ def oracle_sql() -> dict[str, str]:
         "simhash16": (
             f"WITH w AS (SELECT doc_id, {_TOKENIZE_SQL} FROM documents) "
             f"SELECT doc_id, {_simhash_sql(16)} AS simhash16 FROM w"
+        ),
+        "text_normalize": (
+            "SELECT doc_id, "
+            "trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm_text, "
+            "trim(regexp_replace(lower(text), ' +', ' ', 'g')) <> text AS changed, "
+            "CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS INT)"
+            " AS norm_len FROM documents"
+        ),
+        "pii_scrub": pre(
+            "SELECT conv_id, turn_idx, "
+            f"CAST(length(regexp_extract_all(text, '{_IP_RE}')) AS INT) AS n_ips, "
+            f"regexp_replace(text, '{_IP_RE}', '<IP>', 'g') AS scrubbed "
+            "FROM transcripts"
+        ),
+        "vocab_topk": (
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "stratified_sample": (
+            "SELECT lang, count(*) AS n_total, "
+            "CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+            "IN ('0','1','2') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled "
+            "FROM documents GROUP BY lang"
+        ),
+        "contamination_check": (
+            "WITH shingled AS (SELECT DISTINCT doc_id, unnest("
+            + D._SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
+            + ") AS s FROM documents), "
+            "bench AS (SELECT DISTINCT s FROM shingled WHERE doc_id < 10) "
+            "SELECT a.doc_id, count(*) AS n_overlap FROM shingled a "
+            "JOIN bench b ON a.s = b.s WHERE a.doc_id >= 10 GROUP BY a.doc_id"
         ),
         "media_inventory": (
             "SELECT doc_id AS media_id, "

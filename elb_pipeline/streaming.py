@@ -59,6 +59,40 @@ def windowed_sink_counts(
     )
 
 
+def routed_json_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """The FUSED hot-path operator under readStream: route + extract +
+    NDJSON + dead-letter diagnosis are stateless, so the exact batch
+    operator runs on a streaming frame unchanged — this is the streaming
+    analog of the reference's stdin→stdout mode (main.rs:89-101), emitting
+    one NDJSON line per valid turn as micro-batches arrive."""
+    from elb_pipeline.parse import routed_json_both
+
+    return routed_json_both(stream, with_diag=True)
+
+
+def run_json_stream_to_memory(
+    spark: SparkSession,
+    input_path: str,
+    query_name: str = "routed_json",
+) -> DataFrame:
+    """Drive the fused parse stream over the files currently in
+    ``input_path`` (memory sink; test/smoke harness)."""
+    routed = routed_json_stream(
+        spark, read_transcripts_stream(spark, input_path)
+    )
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     input_path: str,
