@@ -317,19 +317,24 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     doc_pool: candidate pairs from per-band bucket joins, verified with
     exact shingle-set Jaccard — the linear-cost near-dup path for 100 TB
     (dedup.py)."""
-    from elb_pipeline.dedup import doc_pool, verified_pairs, with_signatures
+    from elb_pipeline.dedup import doc_pool, materialized_signatures, verified_pairs
 
-    sigs = with_signatures(doc_pool(_read(spark, sf_dir, "documents")))
+    sigs = materialized_signatures(doc_pool(_read(spark, sf_dir, "documents")))
     return verified_pairs(sigs)
 
 
 def q_minhash_lsh_groups(spark, sf_dir):
     """Duplicate components: connected components over the verified LSH
     pairs via iterative min-label propagation; group_id = min doc_id."""
-    from elb_pipeline.dedup import doc_pool, dup_groups, verified_pairs, with_signatures
+    from elb_pipeline.dedup import (
+        doc_pool,
+        dup_groups,
+        materialized_signatures,
+        verified_pairs,
+    )
 
-    sigs = with_signatures(doc_pool(_read(spark, sf_dir, "documents")))
-    return dup_groups(verified_pairs(sigs))
+    sigs = materialized_signatures(doc_pool(_read(spark, sf_dir, "documents")))
+    return dup_groups(verified_pairs(sigs).persist())
 
 
 # BPE-ish token classes: letter runs, digit runs, single punctuation
@@ -454,14 +459,15 @@ def q_simhash_near_dup(spark, sf_dir):
     a shared vocabulary make every doc similar), bucketed by hamming BAND
     (4 bands × 8 bits — docs within hamming distance 3 share ≥1 intact
     band), then verified with bit_count(xor) ≤ 3. Band-bucket joins keep
-    the candidate set linear at 100 TB; no all-pairs comparison."""
-    from elb_pipeline.dedup import _shingles, doc_pool
+    the candidate set linear at 100 TB; no all-pairs comparison. The
+    simhash itself is an Arrow-batched UDF (see dedup.py: the 32-wide
+    expression tree falls out of codegen, 119 s → ~1 s), persisted so the
+    two join sides don't recompute it."""
+    from elb_pipeline.dedup import doc_pool, simhash32
 
-    sg = _shingles()
-    hs = F.transform(sg, lambda s: F.md5(s))
     pool = doc_pool(_read(spark, sf_dir, "documents")).select(
-        "doc_id", _simhash_col(hs, F.size(sg), 32).alias("sh")
-    )
+        "doc_id", simhash32(F.col("text")).alias("sh")
+    ).persist()
     bands = pool.select(
         "doc_id",
         "sh",
