@@ -134,6 +134,25 @@ _WRITTEN_SCHEMA = T.StructType(
 )
 
 
+def export_ndjson(spark: SparkSession, output_dir: str) -> dict[str, str]:
+    """Write the reference's actual output artifact: raw NDJSON text files,
+    one line per parsed record, per valid sink (the CLI writes these lines
+    to stdout, main.rs:96-98/150-158; serde-byte-identical json column is
+    already materialized by the fused parse pass). Returns sink → path."""
+    data = spark.read.parquet(f"{output_dir}/data")
+    out: dict[str, str] = {}
+    for sink in (SINK_ALB, SINK_CLASSIC):
+        path = f"{output_dir}/ndjson/{sink}"
+        (
+            data.where(F.col("sink") == sink)
+            .select("json")
+            .write.mode("overwrite")
+            .text(path)
+        )
+        out[sink] = path
+    return out
+
+
 def _run_group(
     spark: SparkSession,
     transcripts: DataFrame,

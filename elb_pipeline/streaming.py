@@ -93,6 +93,99 @@ def run_json_stream_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+SESSION_STATE_SCHEMA = "n_turns long, n_malformed long, last_ts timestamp"
+SESSION_OUTPUT_SCHEMA = (
+    "conv_id string, n_turns long, n_malformed long, last_ts timestamp, "
+    "closed boolean"
+)
+
+
+def _session_update_fn(idle_timeout_ms: int):
+    """Factory for the per-group state-update function (unit-testable
+    without streaming machinery — see tests/test_streaming.py)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (conv_id,) = key
+        cols = ["conv_id", "n_turns", "n_malformed", "last_ts", "closed"]
+        if state.hasTimedOut:
+            n_turns, n_mal, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame([[conv_id, n_turns, n_mal, last_ts, True]], columns=cols)
+            return
+        n_turns, n_mal, last_ts = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_mal += int((pdf["sink"] == "malformed").sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n_turns, n_mal, last_ts))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame([[conv_id, n_turns, n_mal, last_ts, False]], columns=cols)
+
+    return update
+
+
+def conversation_sessions(
+    routed: DataFrame, idle_timeout_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-conversation running session stats — turn count, malformed count,
+    last activity — emitted on every update and flushed with
+    ``closed=true`` when the conversation goes idle past the processing-
+    time timeout. The reference has no stateful surface (bounded batch);
+    this is the Spark-native sessionization a transcript pipeline needs
+    (e.g. closing a conversation for downstream aggregation once no more
+    turns can arrive). State is one tiny row per open conversation, keyed
+    by conv_id — partitioned by the group key, so state shards scale with
+    executors."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        routed.groupBy("conv_id")
+        .applyInPandasWithState(
+            _session_update_fn(idle_timeout_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_sessions_to_memory(
+    spark: SparkSession,
+    input_path: str,
+    query_name: str = "conv_sessions",
+    idle_timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Drive the stateful sessionization over the files currently in
+    ``input_path`` (memory sink; test/smoke harness).
+
+    Uses ``trigger(availableNow)``: with a processing-time timeout the
+    continuous trigger schedules empty state-cleanup batches forever, so
+    ``processAllAvailable`` would never return — availableNow drains the
+    input and stops (conversations stay open; the timeout/``closed`` path
+    is exercised separately with a live trigger)."""
+    routed = routed_stream(spark, read_transcripts_stream(spark, input_path))
+    sessions = conversation_sessions(
+        routed.select("conv_id", "sink", "ts"), idle_timeout_ms=idle_timeout_ms
+    )
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     input_path: str,

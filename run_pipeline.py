@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--groups", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--ndjson",
+        action="store_true",
+        help="also export raw NDJSON text per valid sink (the reference "
+        "CLI's stdout artifact) under <output>/ndjson/",
+    )
     args = p.parse_args(argv)
 
     from elb_pipeline.job import run_job
@@ -57,16 +63,17 @@ def main(argv: list[str] | None = None) -> int:
             n_groups=args.groups,
             resume=not args.no_resume,
         )
-        print(
-            json.dumps(
-                {
-                    "groups_run": result.groups_run,
-                    "groups_skipped": result.groups_skipped,
-                    "sink_counts": result.sink_counts,
-                    "wall_seconds": round(result.wall_seconds, 3),
-                }
-            )
-        )
+        payload = {
+            "groups_run": result.groups_run,
+            "groups_skipped": result.groups_skipped,
+            "sink_counts": result.sink_counts,
+            "wall_seconds": round(result.wall_seconds, 3),
+        }
+        if args.ndjson:
+            from elb_pipeline.job import export_ndjson
+
+            payload["ndjson"] = export_ndjson(spark, args.output)
+        print(json.dumps(payload))
         return 0
     finally:
         spark.stop()

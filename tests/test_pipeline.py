@@ -102,6 +102,24 @@ def test_job_end_to_end_and_resume(spark, transcripts, oracle_rows, tmp_path):
     assert res3.sink_counts == dict(want)
 
 
+def test_ndjson_export_matches_parquet_json(spark, transcripts, tmp_path):
+    """export_ndjson writes the reference's output artifact: raw NDJSON
+    text, line-for-line equal to the fused pass's json column."""
+    from elb_pipeline.job import export_ndjson
+
+    out = str(tmp_path / "ndj")
+    run_job(spark, transcripts, out, mode="skip", n_groups=2)
+    paths = export_ndjson(spark, out)
+    data = spark.read.parquet(f"{out}/data")
+    for sink, path in paths.items():
+        want = sorted(
+            r["json"] for r in data.where(F.col("sink") == sink).select("json").collect()
+        )
+        got = sorted(r["value"] for r in spark.read.text(path).collect())
+        assert got == want and len(got) > 0
+        assert all(line.startswith("{") and line.endswith("}") for line in got)
+
+
 def test_job_all_malformed_input_survives_skip_mode(spark, transcripts, tmp_path):
     """A group whose valid slice is empty must not crash the read-back
     (dynamic-partition writes of empty frames emit no part files)."""
