@@ -19,8 +19,6 @@ from elb_pipeline import dedup as D
 from elb_pipeline import oracle as O
 from elb_pipeline import simsearch as S
 from elb_pipeline.aggregate import (
-    N_BUCKETS,
-    conv_bucket,
     salted_sink_day_bucket_counts,
     sink_counts,
     sink_day_bucket_counts,

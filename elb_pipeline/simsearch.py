@@ -27,7 +27,7 @@ against the exact scan (``ann_ivf_recall``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EMB_DIM = 64
