@@ -48,6 +48,8 @@ def get_spark(
         # larger Arrow batches amortize the JVM↔Python hop in the parse UDF
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", "false")
+        # keep saveAsTable warehouses out of the repo working directory
+        .config("spark.sql.warehouse.dir", "/tmp/elb_spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
