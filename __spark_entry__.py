@@ -10,6 +10,7 @@ pairwise so the driver's order-insensitive value-hash comparison holds.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -239,15 +240,18 @@ def q_event_types_except(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup over doc_pool (documents + deterministically planted
     duplicates — the raw table is dup-free at every sf, which made this
-    check vacuous in round 1). At 100 TB group on md5(text), not text,
-    to keep shuffle rows narrow; here text is the grouping key so the
-    oracle covers the exact-equality semantics itself."""
+    check vacuous in round 1). Groups on (md5(text), length(text)) — the
+    100-TB shape: the shuffle rows carry a 32-char key instead of the full
+    document text; length disambiguates the astronomically-unlikely md5
+    collision. The oracle groups on the same key."""
     from elb_pipeline.dedup import doc_pool
 
     d = doc_pool(_read(spark, sf_dir, "documents"))
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
-    ).select("keep_id", "n_copies")
+    return (
+        d.groupBy(F.md5("text").alias("k"), F.length("text").alias("len"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
 
 
 def q_doc_quality(spark, sf_dir):
@@ -310,20 +314,34 @@ def q_minhash_dup_groups(spark, sf_dir):
     )
 
 
+def _doc_cache_key(sf_dir: str) -> str:
+    """Cache key for per-sf_dir materialized intermediates: sf tag + a
+    content fingerprint of documents.parquet (stale-proof)."""
+    from elb_pipeline.matcache import dir_fingerprint
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"{tag}_{dir_fingerprint(f'{sf_dir}/documents.parquet')}"
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Banded MinHash LSH (4 bands × 2 rows, word-3-gram shingles) over
     doc_pool: candidate pairs from per-band bucket joins, verified with
     exact shingle-set Jaccard — the linear-cost near-dup path for 100 TB
-    (dedup.py)."""
+    (dedup.py). Signatures are materialized to a parquet table (computed
+    once, no persisted RDDs left behind)."""
     from elb_pipeline.dedup import doc_pool, materialized_signatures, verified_pairs
 
-    sigs = materialized_signatures(doc_pool(_read(spark, sf_dir, "documents")))
+    sigs = materialized_signatures(
+        doc_pool(_read(spark, sf_dir, "documents")), cache_key=_doc_cache_key(sf_dir)
+    )
     return verified_pairs(sigs)
 
 
 def q_minhash_lsh_groups(spark, sf_dir):
     """Duplicate components: connected components over the verified LSH
-    pairs via iterative min-label propagation; group_id = min doc_id."""
+    pairs via iterative min-label propagation; group_id = min doc_id.
+    dup_groups owns the persist lifecycle of its inputs (pairs/edges are
+    unpersisted once the edge set is materialized)."""
     from elb_pipeline.dedup import (
         doc_pool,
         dup_groups,
@@ -331,8 +349,11 @@ def q_minhash_lsh_groups(spark, sf_dir):
         verified_pairs,
     )
 
-    sigs = materialized_signatures(doc_pool(_read(spark, sf_dir, "documents")))
-    return dup_groups(verified_pairs(sigs).persist())
+    key = _doc_cache_key(sf_dir)
+    sigs = materialized_signatures(
+        doc_pool(_read(spark, sf_dir, "documents")), cache_key=key
+    )
+    return dup_groups(verified_pairs(sigs), cache_key=key)
 
 
 # BPE-ish token classes: letter runs, digit runs, single punctuation
@@ -459,13 +480,18 @@ def q_simhash_near_dup(spark, sf_dir):
     band), then verified with bit_count(xor) ≤ 3. Band-bucket joins keep
     the candidate set linear at 100 TB; no all-pairs comparison. The
     simhash itself is an Arrow-batched UDF (see dedup.py: the 32-wide
-    expression tree falls out of codegen, 119 s → ~1 s), persisted so the
-    two join sides don't recompute it."""
+    expression tree falls out of codegen, 119 s → ~1 s), materialized to
+    parquet so the two join sides don't recompute it and no persisted RDD
+    outlives the query."""
     from elb_pipeline.dedup import doc_pool, simhash32
+    from elb_pipeline.matcache import materialize
 
-    pool = doc_pool(_read(spark, sf_dir, "documents")).select(
-        "doc_id", simhash32(F.col("text")).alias("sh")
-    ).persist()
+    pool = materialize(
+        doc_pool(_read(spark, sf_dir, "documents")).select(
+            "doc_id", simhash32(F.col("text")).alias("sh")
+        ),
+        f"simhash32_{_doc_cache_key(sf_dir)}",
+    )
     bands = pool.select(
         "doc_id",
         "sh",
@@ -615,6 +641,25 @@ def q_media_frame_sample(spark, sf_dir):
     return sample_frames(media_from_documents(spark, sf_dir))
 
 
+def q_ndjson_ordered_lines(spark, sf_dir):
+    """Order-preserving single-stream NDJSON export — the reference's
+    stdin→stdout mode emits parsed lines in INPUT order (main.rs:89-101);
+    the distributed analog is a total order on the stable turn key
+    (conv_id, turn_idx). line_no embeds the sequence in the data so the
+    driver's order-insensitive hash still proves the exact line ORDER
+    matches the oracle's ORDER BY. The global window is intentionally
+    single-partition: a totally-ordered single-stream export is a
+    single-writer operation by definition (at scale you shard it per
+    conv_id range — job.export_ndjson_ordered documents that)."""
+    both = q_alb_json_lines(spark, sf_dir).unionByName(
+        q_classic_json_lines(spark, sf_dir)
+    )
+    w = Window.orderBy("conv_id", "turn_idx")
+    return both.select(
+        F.row_number().over(w).cast("long").alias("line_no"), "json"
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -680,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_order_check": q_turn_order_check,
         "dead_letter_rows": q_dead_letter_rows,
         "dead_letter_diag": q_dead_letter_diag,
+        "ndjson_ordered_lines": q_ndjson_ordered_lines,
         "file_corpus_route_counts": q_file_corpus_route_counts,
         "tpch_q1": q_tpch_q1,
         "top_events_per_user": q_top_events_per_user,
@@ -715,8 +761,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------------------
-# oracle SQL (DuckDB) — one per query above (dead_letter_diag intentionally
-# omitted: python-prefix diagnostics are not SQL-expressible)
+# oracle SQL (DuckDB) — one per query above. Every query is oracled;
+# byte-exact failed_position (partial-regex bisection) is the one facet not
+# SQL-expressible — it is pytest-covered against a linear DFA-alive walk,
+# while dead_letter_diag's nearest_dialect/fields_ok ARE oracled below.
 # ---------------------------------------------------------------------------
 
 _EXACT_ANN_SQL = (
@@ -833,6 +881,15 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN kc > ka THEN 'classic_lb' ELSE 'alb' END AS nearest_dialect, "
             "CAST(greatest(ka, kc) AS INT) AS fields_ok FROM diag"
         ),
+        "ndjson_ordered_lines": pre(
+            f", {O.alb_extract_cte()}, {O.classic_extract_cte()}, "
+            f"both_sinks AS (SELECT conv_id, turn_idx, {O.alb_json_expr()} AS json "
+            "FROM alb_ext "
+            f"UNION ALL SELECT conv_id, turn_idx, {O.classic_json_expr()} "
+            "AS json FROM clb_ext) "
+            "SELECT row_number() OVER (ORDER BY conv_id, turn_idx) AS line_no, "
+            "json FROM both_sinks"
+        ),
         "file_corpus_route_counts": _file_corpus_oracle_sql(),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "
@@ -864,7 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             f"WITH {D.doc_pool_cte()} "
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
-            "FROM doc_pool GROUP BY text"
+            "FROM doc_pool GROUP BY md5(text), length(text)"
         ),
         "minhash_lsh_pairs": (
             f"WITH {D.doc_pool_cte()}, {D.signatures_cte()}, "

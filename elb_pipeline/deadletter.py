@@ -100,64 +100,126 @@ def _greedy_prefix_end(line: bytes, d: Dialect, k: int) -> int:
     return m.end() if m else 0
 
 
+def _noncapturing(pattern: str) -> str:
+    """Rewrite unnamed capture groups to ``(?:...)`` (RE2's extract_regex
+    rejects unnamed groups; same scan as dialects.named_pattern)."""
+    out: list[str] = []
+    j = 0
+    while j < len(pattern):
+        c = pattern[j]
+        if c == "\\":
+            out.append(pattern[j : j + 2])
+            j += 2
+            continue
+        if c == "(" and pattern[j + 1 : j + 2] != "?":
+            out.append("(?:")
+            j += 1
+            continue
+        out.append(c)
+        j += 1
+    return "".join(out)
+
+
+def greedy_prefix_ends_arrow(
+    text: pa.Array, d: Dialect, ks: np.ndarray, rows: np.ndarray
+) -> np.ndarray:
+    """Vectorized ``_greedy_prefix_end``: for every row index in ``rows``
+    (whose fields_ok is ``ks[row]``), the BYTE offset where the greedy
+    match of its k-field prefix ends. One RE2 extract pass per distinct k
+    over just that k's subset; the matched prefix's byte length is the end
+    offset (``binary_length`` counts bytes on utf8 arrays). Any consumed
+    prefix is a proven-alive lower bound for the dead-byte bisection, so
+    RE2-vs-backtracker greedy-end differences cannot change the result."""
+    n = len(text)
+    ends = np.zeros(n, dtype=np.int64)
+    rows_pos = rows[ks[rows] > 0]
+    for k in np.unique(ks[rows_pos]):
+        sel = np.zeros(n, dtype=bool)
+        sel[rows_pos[ks[rows_pos] == k]] = True
+        sub = text.filter(pa.array(sel))
+        pat = "^(?P<p>" + _noncapturing("(?:" + "".join(d.parts[: int(k)]) + ")") + ")"
+        ext = pc.extract_regex(sub, pattern=pat)
+        lens = pc.fill_null(
+            pc.binary_length(pc.struct_field(ext, "p")), 0
+        ).to_numpy(zero_copy_only=False)
+        ends[np.flatnonzero(sel)] = lens
+    return ends
+
+
 def failed_position_bytes(line: bytes, d: Dialect, start: int = 0) -> int:
     """Reference ``try_find_failed_position`` semantics (parse.rs:22-41):
     the index of the first byte whose consumption makes the full anchored
     pattern unmatchable; len(line) if every byte is consistent but EOI
     kills it (truncated line). Bisection over the monotone alive
     predicate ``fullmatch(..., partial=True)``."""
-    rx = _partial_rx(d)
-
-    def alive(i: int) -> bool:
-        return rx.fullmatch(line, 0, i, partial=True) is not None
-
+    fm = _partial_rx(d).fullmatch  # bound once — this runs per dead letter
     n = len(line)
-    if alive(n):
+    if fm(line, 0, n, partial=True) is not None:
         return n  # all bytes alive; the line is a truncated prefix (EOI dies)
     # smallest L in (start, n] with alive(L) false, then position = L - 1
     lo, hi = start, n  # alive(lo) True, alive(hi) False
     while hi - lo > 1:
         mid = (lo + hi) >> 1
-        if alive(mid):
+        if fm(line, 0, mid, partial=True) is not None:
             lo = mid
         else:
             hi = mid
     return hi - 1
 
 
-def diagnose_arrow(text: pa.Array) -> list[pa.Array]:
+def diagnose_arrow(text: pa.Array, positions: bool = True) -> list[pa.Array]:
     """(nearest_dialect, fields_ok, failed_position) arrays for a batch of
-    malformed lines. fields_ok: vectorized RE2 binary search per dialect;
-    failed_position: byte-exact bisection, per row, malformed rows only."""
+    malformed lines.
+
+    nearest_dialect + fields_ok are fully vectorized (RE2 binary search per
+    dialect, ~log2(33) passes). failed_position is the only remaining
+    per-row step — the DFA-alive bisection needs the ``regex`` module's
+    partial matching, which has no batch API — but its alive-lower-bound
+    (the greedy prefix end) is now computed vectorized too, so the per-row
+    residue is ~log2(residual bytes) C-level partial matches and zero
+    per-row regex compilation/encode work. ``positions=False`` skips it
+    entirely (null column) for hot paths that only need routing stats:
+    the reference renders positions as stderr underline art
+    (main.rs:230-245), so at 100 TB they are a diagnostic to sample, not a
+    column to materialize for every dead letter.
+    """
     if not isinstance(text, pa.Array):
         text = pa.array(text, pa.string())
     n = len(text)
     alb_k = fields_ok_arrow(text, ALB)
     clb_k = fields_ok_arrow(text, CLASSIC)
-
-    lines = text.to_pylist()
-    dialects: list[str | None] = [None] * n
-    fields_ok = np.zeros(n, dtype=np.int32)
-    positions = np.zeros(n, dtype=np.int32)
-    valid = np.ones(n, dtype=bool)
-    for i, line in enumerate(lines):
-        if line is None:
-            valid[i] = False
-            continue
-        raw = line.encode()
-        ka, kc = int(alb_k[i]), int(clb_k[i])
-        # ties resolve to ALB — the reference CLI's default dialect
-        # (main.rs:29-30); also keeps the rule SQL-expressible for the
-        # DuckDB oracle.
-        d, k = (CLASSIC, kc) if kc > ka else (ALB, ka)
-        dialects[i] = d.name
-        fields_ok[i] = k
-        positions[i] = failed_position_bytes(raw, d, _greedy_prefix_end(raw, d, k))
+    valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+    # ties resolve to ALB — the reference CLI's default dialect
+    # (main.rs:29-30); also keeps the rule SQL-expressible for the oracle.
+    use_clb = clb_k > alb_k
+    fields_ok = np.where(use_clb, clb_k, alb_k).astype(np.int32)
+    dialects = pc.if_else(
+        pa.array(valid),
+        pc.if_else(pa.array(use_clb), pa.scalar(CLASSIC.name), pa.scalar(ALB.name)),
+        pa.scalar(None, pa.string()),
+    )
     vmask = pa.array(valid)
+    fields_ok_col = pc.if_else(vmask, pa.array(fields_ok), pa.scalar(None, pa.int32()))
+    if not positions:
+        return [dialects, fields_ok_col, pa.nulls(n, pa.int32())]
+
+    rows_v = np.flatnonzero(valid)
+    starts = np.zeros(n, dtype=np.int64)
+    for d, rows_d in (
+        (ALB, rows_v[~use_clb[rows_v]]),
+        (CLASSIC, rows_v[use_clb[rows_v]]),
+    ):
+        if len(rows_d):
+            starts += greedy_prefix_ends_arrow(text, d, fields_ok, rows_d)
+    raw_lines = text.cast(pa.binary()).to_pylist()  # bytes, no per-row encode
+    pos = np.zeros(n, dtype=np.int32)
+    for i in rows_v:
+        d = CLASSIC if use_clb[i] else ALB
+        pos[i] = failed_position_bytes(raw_lines[i], d, int(starts[i]))
     return [
-        pa.array(dialects, pa.string()),
-        pc.if_else(vmask, pa.array(fields_ok), pa.scalar(None, pa.int32())),
-        pc.if_else(vmask, pa.array(positions), pa.scalar(None, pa.int32())),
+        dialects,
+        fields_ok_col,
+        pc.if_else(vmask, pa.array(pos), pa.scalar(None, pa.int32())),
     ]
 
 

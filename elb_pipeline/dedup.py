@@ -48,7 +48,21 @@ JACCARD_THRESHOLD = 0.5
 # shared pool (Spark + SQL twins)
 # ---------------------------------------------------------------------------
 
+def assert_id_headroom(table: DataFrame, id_col: str, offset: int) -> None:
+    """Planted-duplicate ids live at ``base_id + offset``; if the base table
+    ever grows past ``offset`` rows the planted ids would collide with real
+    ones and silently corrupt dup groups on BOTH engines (green-but-wrong).
+    One cheap max() scan guards that."""
+    mx = table.agg(F.max(id_col)).first()[0]
+    if mx is not None and mx >= offset:
+        raise ValueError(
+            f"max({id_col}) = {mx} >= planted-dup offset {offset}: raise the "
+            "offset (and its oracle CTE twin) before running dedup at this scale"
+        )
+
+
 def doc_pool(documents: DataFrame) -> DataFrame:
+    assert_id_headroom(documents, "doc_id", EXACT_OFFSET)
     base = documents.select("doc_id", "text")
     exact = (
         documents.where(F.col("doc_id") % EXACT_MOD == 0)
@@ -119,15 +133,22 @@ def with_signatures(pool: DataFrame) -> DataFrame:
     )
 
 
-def materialized_signatures(pool: DataFrame) -> DataFrame:
-    """Signatures computed ONCE and persisted — the b band joins and the
+def materialized_signatures(pool: DataFrame, cache_key: str | None = None) -> DataFrame:
+    """Signatures computed ONCE and materialized — the b band joins and the
     Jaccard verification all reuse this frame, and without materialization
     each branch would re-evaluate the 8 minhash lambda expressions from
-    scratch (measured ~10× recompute, 82 s → ~10 s at sf0.1). At 100 TB
-    the equivalent is writing the signature table to parquet once — it is
-    narrow (doc_id + 8 hashes + shingle array) and feeds every downstream
-    stage."""
-    return with_signatures(pool).persist()
+    scratch (measured ~10× recompute, 82 s → ~10 s at sf0.1).
+
+    With ``cache_key`` the frame is written to parquet and read back
+    (matcache.materialize) — the 100-TB shape, and it leaves NO persisted
+    RDDs behind in a long-lived session. Without a key it falls back to
+    ``.persist()``; the caller owns the unpersist."""
+    sigs = with_signatures(pool)
+    if cache_key is not None:
+        from elb_pipeline.matcache import materialize
+
+        return materialize(sigs, f"minhash_sigs_{cache_key}")
+    return sigs.persist()
 
 
 def signatures_cte() -> str:
@@ -259,17 +280,32 @@ simhash32 = F.pandas_udf(_simhash32_batch, T.LongType())
 # connected components → dup groups
 # ---------------------------------------------------------------------------
 
-def dup_groups(pairs: DataFrame) -> DataFrame:
+def dup_groups(pairs: DataFrame, cache_key: str | None = None) -> DataFrame:
     """(doc_id, group_id) for every doc in a verified pair; group_id is the
     min doc_id of its connected component (iterative min-label
-    propagation — converges in O(log diameter) rounds)."""
+    propagation — converges in O(log diameter) rounds).
+
+    The converged label table is materialized to parquet
+    (matcache.materialize) and EVERY RDD this call persisted — the
+    pairs/edges caches and each iteration's lineage-truncating
+    localCheckpoint — is released before returning, so a long-lived
+    session accumulates no storage. That is also the 100-TB shape: the
+    group table is a real table every downstream consumer reads, not
+    driver-session cache state. ``cache_key`` keys the parquet (reused
+    across identical calls); without one a per-call key is generated."""
+    import uuid
+
+    sc = pairs.sparkSession.sparkContext
+    persisted_before = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    pairs = pairs.persist()  # read twice (both edge directions) below
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .distinct()
         .persist()  # every iteration joins against edges — compute once
     )
-    edges.count()
+    edges.count()  # materializes edges; pairs no longer needed
+    pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -302,7 +338,18 @@ def dup_groups(pairs: DataFrame) -> DataFrame:
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )
+    from elb_pipeline.matcache import materialize
+
+    out = materialize(out, f"dup_groups_{cache_key or uuid.uuid4().hex[:12]}")
     edges.unpersist()
+    # release every RDD persisted during this call (the iteration
+    # checkpoints have no DataFrame handle to unpersist through); the
+    # result now reads parquet, so none of them back it.
+    jmap = sc._jsc.getPersistentRDDs()
+    for rdd_id in {k for k in jmap.keySet().toArray()} - persisted_before:
+        jrdd = jmap.get(rdd_id)
+        if jrdd is not None:
+            jrdd.unpersist(False)
     return out
 
 

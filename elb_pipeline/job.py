@@ -153,6 +153,31 @@ def export_ndjson(spark: SparkSession, output_dir: str) -> dict[str, str]:
     return out
 
 
+def export_ndjson_ordered(spark: SparkSession, output_dir: str) -> str:
+    """Single-stream ORDER-PRESERVING NDJSON export — the reference's
+    stdin→stdout mode emits lines in input order (main.rs:89-101); the
+    pipeline's stable analog is the total order on (conv_id, turn_idx).
+    Writes ONE text file (sort + repartition(1): a totally-ordered single
+    stream is a single-writer operation by definition; at scale you export
+    per conv_id range — the per-sink fan-out writers stay the parallel
+    path). Returns the output path."""
+    data = spark.read.parquet(f"{output_dir}/data")
+    path = f"{output_dir}/ndjson_ordered"
+    (
+        data.where(F.col("sink").isin(SINK_ALB, SINK_CLASSIC))
+        .select("conv_id", "turn_idx", "json")
+        # a global .sort() followed by repartition(1) does NOT preserve
+        # order (the exchange reorders rows); one partition sorted within
+        # is the correct single-file total order
+        .repartition(1)
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .select("json")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    return path
+
+
 def _run_group(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -189,11 +214,18 @@ def _run_group(
         # strict-fast: the fused operator aborted the task at the first
         # malformed line (reference main.rs:194-203); surface it as the
         # job-level strict error with the reference's message.
+        from elb_pipeline.parse import PARSE_ABORT_SENTINEL
+
+        # Match on the sentinel token the operator embeds in its message —
+        # stable against py4j/Spark traceback-formatting changes — not on
+        # the human-readable class-name prefix.
         msg = str(exc)
-        if mode == "strict-fast" and "ParseAbort: Invalid log line:" in msg:
+        if mode == "strict-fast" and PARSE_ABORT_SENTINEL in msg:
             # take the exception line itself, not the quoted UDF source
             # that py4j also embeds in the traceback text
-            line = msg.rsplit("ParseAbort: Invalid log line:", 1)[1].splitlines()[0].strip()
+            line = msg.rsplit(PARSE_ABORT_SENTINEL, 1)[1].splitlines()[0].strip()
+            if line.startswith("Invalid log line:"):
+                line = line[len("Invalid log line:"):].strip()
             raise StrictModeError(f"Invalid log line: {line}") from None
         raise
 

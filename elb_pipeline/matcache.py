@@ -1,0 +1,54 @@
+"""Deterministic parquet materialization for expensive intermediates.
+
+``materialize(df, key)`` writes ``df`` once to a content-keyed /tmp
+directory (atomic rename — concurrent first runs never observe a
+half-written cache) and returns the read-back frame. This is the
+100-TB shape for reused intermediates: a signature/sketch table is
+computed ONCE, written as a real table, and every downstream join reads
+the parquet — no lingering ``.persist()`` state in a long-lived session
+(Spark's in-memory columnar cache also measured pathological on long
+text columns; see BENCH/BASELINE.md).
+
+``dir_fingerprint`` keys caches on the INPUT's identity (file names +
+sizes + mtimes), so regenerated test data at the same path can never
+serve a stale cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+CACHE_ROOT = os.environ.get("ELB_MAT_CACHE", "/tmp/elb_mat_cache")
+
+
+def dir_fingerprint(path: str) -> str:
+    """md5 over (basename, size, mtime_ns) of a parquet file/directory."""
+    h = hashlib.md5()
+    entries = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(os.path.join(path, f) for f in os.listdir(path))
+    )
+    for f in entries:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+def materialize(df: DataFrame, key: str) -> DataFrame:
+    """Write ``df`` to the cache under ``key`` (first caller wins the
+    atomic rename race) and return the parquet read-back."""
+    path = os.path.join(CACHE_ROOT, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the race — the winner's copy is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+    return df.sparkSession.read.parquet(path)

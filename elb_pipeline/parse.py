@@ -82,6 +82,12 @@ class ParseAbort(RuntimeError):
     (parse.rs:7-10) surfaced through a failing Spark task."""
 
 
+# Machine-matchable sentinel embedded in every ParseAbort message: job.py
+# recognizes the abort inside the py4j-wrapped task-failure text by this
+# token (robust to traceback formatting changes), not by the human prefix.
+PARSE_ABORT_SENTINEL = "ELB_PARSE_ABORT::"
+
+
 _POOLS_PINNED = False
 
 
@@ -322,6 +328,7 @@ def routed_json_both(
     keep_malformed_text: bool = True,
     passthrough: list[str] | None = None,
     with_diag: bool = False,
+    diag_positions: bool = True,
     fail_fast: bool = False,
 ) -> DataFrame:
     """THE pipeline hot path: one ``mapInArrow`` stage that routes every
@@ -371,7 +378,9 @@ def routed_json_both(
                 # already be emitted — exactly like the CLI, which has
                 # already written parsed lines to stdout when it aborts.
                 first = text.filter(mal_mask)[0].as_py()
-                raise ParseAbort(f"Invalid log line: {first}")
+                raise ParseAbort(
+                    f"{PARSE_ABORT_SENTINEL}Invalid log line: {first}"
+                )
             if keep_malformed_text:
                 mal = pc.if_else(mal_mask, text, _NULL_STR)
             else:
@@ -382,7 +391,10 @@ def routed_json_both(
 
                 kept = text.filter(mal_mask)
                 if len(kept):
-                    extra = [_scatter(c, mal_mask) for c in diagnose_arrow(kept)]
+                    extra = [
+                        _scatter(c, mal_mask)
+                        for c in diagnose_arrow(kept, positions=diag_positions)
+                    ]
                 else:
                     extra = [
                         pa.nulls(len(text), pa.string()),

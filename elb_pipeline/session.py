@@ -20,6 +20,10 @@ def perf_conf(heap: str = "24g") -> dict[str, str]:
     """
     xmn = max(int(heap.rstrip("g")) // 2, 1)
     return {
+        # -Xmx is derived from spark.driver.memory; pin it to the same value
+        # here so -Xms can never exceed it (a mismatched SPARK_DRIVER_MEMORY
+        # would otherwise make the JVM refuse to start).
+        "spark.driver.memory": heap,
         "spark.driver.extraJavaOptions": (
             f"-Xms{heap} -Xmn{xmn}g -XX:+UseParallelGC -XX:+AlwaysPreTouch"
         ),
@@ -50,6 +54,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # keep saveAsTable warehouses out of the repo working directory
         .config("spark.sql.warehouse.dir", "/tmp/elb_spark_warehouse")
+        # Spark 4.1 checksums every streaming-checkpoint file through a
+        # blocking thread-pool hop; on local-FS checkpoints that dominates
+        # small-batch state commits (measured: the sessionization drain
+        # blew a 120 s budget). Local /tmp checkpoints don't need it; a
+        # production HDFS/S3 deployment can re-enable per query.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -56,6 +56,9 @@ def _as_double(col):
 
 
 def emb_pool(embeddings: DataFrame) -> DataFrame:
+    from elb_pipeline.dedup import assert_id_headroom
+
+    assert_id_headroom(embeddings, "vec_id", CLONE_OFFSET)
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("e")
     )

@@ -154,6 +154,95 @@ def conversation_sessions(
     )
 
 
+def _event_session_update_fn(gap_ms: int):
+    """Per-group state update for EVENT-TIME sessionization: the session
+    closes when the stream's watermark passes last_ts + gap, so late
+    (out-of-order) turns at or before the watermark still extend the
+    session, while a turn arriving after its conversation closed starts a
+    NEW session instead of silently reopening the closed one."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (conv_id,) = key
+        cols = ["conv_id", "n_turns", "n_malformed", "last_ts", "closed"]
+        if state.hasTimedOut:
+            n_turns, n_mal, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[conv_id, n_turns, n_mal, last_ts, True]], columns=cols
+            )
+            return
+        n_turns, n_mal, last_ts = state.get if state.exists else (0, 0, None)
+        # Arbitrary stateful ops do NOT auto-filter late data (the
+        # watermark only drives state timeouts) — drop rows at or below
+        # the current watermark explicitly, or a straggler older than the
+        # watermark would silently reopen/extend a closed session.
+        wm_ms = state.getCurrentWatermarkMs()
+        grew = False
+        for pdf in pdfs:
+            if wm_ms > 0:
+                pdf = pdf[(pdf["ts"].astype("int64") // 1_000_000) > wm_ms]
+            if not len(pdf):
+                continue
+            grew = True
+            n_turns += len(pdf)
+            n_mal += int((pdf["sink"] == "malformed").sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        if not grew and not state.exists:
+            return  # every row was late — start no session
+        state.update((n_turns, n_mal, last_ts))
+        # close when the WATERMARK (event time), not the wall clock,
+        # passes last activity + gap
+        state.setTimeoutTimestamp(int(last_ts.timestamp() * 1000) + gap_ms)
+        yield pd.DataFrame(
+            [[conv_id, n_turns, n_mal, last_ts, False]], columns=cols
+        )
+
+    return update
+
+
+def conversation_sessions_event_time(
+    routed: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """EVENT-TIME sessionization (``applyInPandasWithState`` with
+    ``EventTimeTimeout``): sessions close when the watermark — driven by
+    observed event times, tolerant of ``watermark`` of disorder — passes
+    the session's last event + ``gap``. Unlike the processing-time variant
+    (:func:`conversation_sessions`), replaying a historical stream yields
+    the SAME session boundaries regardless of ingest speed, and a turn
+    older than the watermark cannot reopen a closed session (it is dropped
+    by the watermark, the documented late-data contract)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _event_session_update_fn(gap_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+    }[unit.rstrip("s")]
+    return int(n) * mult
+
+
 def run_sessions_to_memory(
     spark: SparkSession,
     input_path: str,
@@ -163,11 +252,15 @@ def run_sessions_to_memory(
     """Drive the stateful sessionization over the files currently in
     ``input_path`` (memory sink; test/smoke harness).
 
-    Uses ``trigger(availableNow)``: with a processing-time timeout the
-    continuous trigger schedules empty state-cleanup batches forever, so
-    ``processAllAvailable`` would never return — availableNow drains the
-    input and stops (conversations stay open; the timeout/``closed`` path
-    is exercised separately with a live trigger)."""
+    A processing-time timeout keeps state armed, and Spark services armed
+    timeouts by scheduling zero-row state-cleanup batches — so the query
+    never terminates on its own, even under ``trigger(availableNow)``
+    (measured: endless ~1.4 s empty batches after the data drained).
+    ``awaitTermination`` is therefore the wrong wait; instead poll the
+    stream's progress until every INPUT row has been processed (≥1 data
+    batch seen, latest batch empty, source reports no data available),
+    then stop. Conversations stay open; the timeout/``closed`` path is
+    unit-tested against the update function directly."""
     routed = routed_stream(spark, read_transcripts_stream(spark, input_path))
     sessions = conversation_sessions(
         routed.select("conv_id", "sink", "ts"), idle_timeout_ms=idle_timeout_ms
@@ -180,10 +273,35 @@ def run_sessions_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(120)
+        _await_drained(q, timeout=300.0)
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def _await_drained(q, timeout: float = 300.0) -> None:
+    """Block until the streaming query has processed all currently
+    available input (some data batch committed AND the newest batch was
+    empty with no more data pending), or the query terminated by itself.
+    Raises TimeoutError otherwise — partial session rows must not
+    masquerade as data."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    saw_data = False
+    while time.monotonic() < deadline:
+        if not q.isActive:
+            return  # terminated on its own (e.g. event-time availableNow)
+        progress = q.recentProgress
+        saw_data = saw_data or any(p["numInputRows"] > 0 for p in progress)
+        latest_empty = bool(progress) and progress[-1]["numInputRows"] == 0
+        no_pending = not q.status.get("isDataAvailable", True)
+        if saw_data and latest_empty and no_pending:
+            return
+        time.sleep(0.5)
+    raise TimeoutError(
+        f"streaming query did not drain its input within {timeout}s"
+    )
 
 
 def run_stream_to_memory(

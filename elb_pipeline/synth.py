@@ -61,12 +61,33 @@ def transcripts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     use this so per-query timings measure the operator, not the shared
     derivation; ``transcripts_build`` still exercises the derivation
     itself."""
+    import hashlib
     import os
 
+    # Key the cache on a content fingerprint of the events input (file
+    # names + sizes + mtimes), not just the sf_dir basename: regenerated
+    # test data at the same path must not serve a stale cache.
+    ev_dir = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.md5()
+    entries = [ev_dir] if os.path.isfile(ev_dir) else sorted(
+        os.path.join(ev_dir, f) for f in os.listdir(ev_dir)
+    )
+    for f in entries:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/tmp/elb_transcripts_cache_v2_{tag}"
+    path = f"/tmp/elb_transcripts_cache_v3_{tag}_{h.hexdigest()[:12]}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+        # Write to a private temp dir, then atomically rename into place so
+        # two concurrent first runs never read a half-written directory.
+        tmp = f"{path}.tmp.{os.getpid()}"
+        transcripts_from_events(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # another process won the race — use its copy
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

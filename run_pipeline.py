@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also export raw NDJSON text per valid sink (the reference "
         "CLI's stdout artifact) under <output>/ndjson/",
     )
+    p.add_argument(
+        "--ndjson-ordered",
+        action="store_true",
+        help="also export ONE NDJSON file totally ordered by "
+        "(conv_id, turn_idx) — the reference stdin mode's input-order "
+        "observable (main.rs:89-101) — under <output>/ndjson_ordered/",
+    )
     args = p.parse_args(argv)
 
     from elb_pipeline.job import run_job
@@ -73,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
             from elb_pipeline.job import export_ndjson
 
             payload["ndjson"] = export_ndjson(spark, args.output)
+        if args.ndjson_ordered:
+            from elb_pipeline.job import export_ndjson_ordered
+
+            payload["ndjson_ordered"] = export_ndjson_ordered(spark, args.output)
         print(json.dumps(payload))
         return 0
     finally:

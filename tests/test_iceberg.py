@@ -1,0 +1,79 @@
+"""Iceberg transcripts source — environment-gated integration test.
+
+BASELINE.json's input_hint names an Iceberg transcripts table; the runtime
+jar is not in this image, so this test documents EXACTLY what flips it
+from skipped to green: put ``iceberg-spark-runtime-4.x_2.13-<ver>.jar``
+into pyspark's ``jars/`` directory (or pass it via ``spark.jars``) and the
+test writes transcripts into a hadoop-catalog Iceberg table and reads it
+back through ``sources.read_transcripts_table``. Without the jar, the
+reader's error message (tested below, unconditionally) tells the operator
+the same thing.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _iceberg_runtime_jars() -> list[str]:
+    import pyspark
+
+    roots = [
+        os.path.join(os.path.dirname(pyspark.__file__), "jars"),
+        os.environ.get("ELB_EXTRA_JARS_DIR", "/opt/spark-extra-jars"),
+    ]
+    out: list[str] = []
+    for r in roots:
+        out += glob.glob(os.path.join(r, "iceberg-spark-runtime*.jar"))
+    return out
+
+
+def test_read_transcripts_table_error_names_the_fix(spark):
+    """Without the jar/catalog, the reader must fail with a message that
+    names ICEBERG_CONF — not an opaque ClassNotFound / catalog error."""
+    from elb_pipeline.sources import read_transcripts_table
+
+    with pytest.raises(RuntimeError, match="ICEBERG_CONF"):
+        read_transcripts_table(spark, "lake.ai.transcripts_does_not_exist")
+
+
+@pytest.mark.slow
+def test_iceberg_transcripts_roundtrip(tmp_path):
+    jars = _iceberg_runtime_jars()
+    if not jars:
+        pytest.skip(
+            "iceberg-spark-runtime jar not in image — drop "
+            "iceberg-spark-runtime-4.x_2.13-<ver>.jar into pyspark/jars "
+            "(or $ELB_EXTRA_JARS_DIR) to enable the Iceberg round-trip"
+        )
+    from pyspark.sql import SparkSession
+
+    from elb_pipeline.sources import read_transcripts_table
+    from elb_pipeline.synth import transcripts_from_events
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("iceberg_roundtrip")
+        .config("spark.jars", ",".join(jars))
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.lake.type", "hadoop")
+        .config("spark.sql.catalog.lake.warehouse", str(tmp_path / "warehouse"))
+        .getOrCreate()
+    )
+    try:
+        t = transcripts_from_events(s, SF_DIR)
+        t.writeTo("lake.ai.transcripts").using("iceberg").createOrReplace()
+        back = read_transcripts_table(s, "lake.ai.transcripts")
+        assert back.count() == t.count()
+        assert set(back.columns) == set(t.columns)
+    finally:
+        s.stop()

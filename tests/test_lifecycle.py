@@ -1,0 +1,37 @@
+"""Persist lifecycle: queries must not leak persisted RDDs into a
+long-lived session (VERDICT r2 #4). Materialized intermediates go through
+matcache (parquet write + read-back); the only transient persists
+(dup_groups' pairs/edges) are unpersisted before the function returns."""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _persistent_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {k for k in m.keySet().toArray()}
+
+
+def test_no_new_persisted_rdds_after_queries(spark):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    before = _persistent_ids(spark)
+    for name in ("minhash_lsh_pairs", "simhash_near_dup", "embedding_near_dup"):
+        qs[name](spark, SF_DIR).count()
+    after = _persistent_ids(spark)
+    assert after - before == set(), f"leaked persisted RDDs: {after - before}"
+
+
+def test_dup_groups_unpersists_inputs(spark):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    before = _persistent_ids(spark)
+    qs["minhash_lsh_groups"](spark, SF_DIR).count()
+    # dup_groups materializes its converged labels to parquet and releases
+    # EVERYTHING it persisted (pairs/edges caches + every iteration's
+    # localCheckpoint) — nothing may survive the call.
+    leaked = _persistent_ids(spark) - before
+    assert leaked == set(), f"persisted RDDs leaked by dup_groups: {leaked}"

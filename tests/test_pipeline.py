@@ -212,3 +212,30 @@ def test_salted_agg_equals_direct(spark, transcripts):
         for r in salted_sink_day_bucket_counts(routed).collect()
     }
     assert direct == salted
+
+
+def test_export_ndjson_ordered_single_sorted_file(spark, transcripts, tmp_path):
+    """Order-preserving export: ONE text file whose line sequence equals the
+    valid NDJSON sorted by the stable turn key (the reference stdin mode's
+    input-order observable, main.rs:89-101)."""
+    from elb_pipeline.job import export_ndjson_ordered
+
+    out = str(tmp_path / "job_ordered")
+    run_job(spark, transcripts, out, mode="skip", n_groups=2)
+    path = export_ndjson_ordered(spark, out)
+
+    files = sorted(glob.glob(f"{path}/part-*"))
+    assert len(files) == 1  # single-stream export = single writer
+    with open(files[0], encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+
+    expected = [
+        r["json"]
+        for r in spark.read.parquet(f"{out}/data")
+        .where(F.col("sink").isin("alb", "classic_lb"))
+        .orderBy("conv_id", "turn_idx")
+        .select("json")
+        .collect()
+    ]
+    assert len(lines) > 0
+    assert lines == expected

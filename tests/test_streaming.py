@@ -144,3 +144,105 @@ def test_session_update_fn_accumulates_and_closes():
     (closed,) = list(fn(("conv-x",), iter([]), state))
     assert closed.iloc[0].tolist() == ["conv-x", 6, 2, ts2, True]
     assert state.removed
+
+
+class _FakeEventState(_FakeState):
+    watermark_ms = 0
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts_ms = ts_ms
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
+
+def test_event_session_update_fn_sets_event_time_timeout():
+    import pandas as pd
+
+    from elb_pipeline.streaming import _event_session_update_fn
+
+    gap_ms = 30 * 60 * 1000
+    fn = _event_session_update_fn(gap_ms)
+    ts1 = pd.Timestamp("2024-01-01 10:00:00")
+    ts2 = pd.Timestamp("2024-01-01 10:05:00")
+    pdf = pd.DataFrame({"sink": ["alb", "malformed"], "ts": [ts2, ts1]})
+
+    state = _FakeEventState()
+    (out,) = list(fn(("conv-a",), iter([pdf]), state))
+    assert out.iloc[0].tolist() == ["conv-a", 2, 1, ts2, False]
+    # timeout armed at last EVENT time + gap, not a processing-time delay
+    assert state.timeout_ts_ms == int(ts2.timestamp() * 1000) + gap_ms
+
+    state.hasTimedOut = True
+    (closed,) = list(fn(("conv-a",), iter([]), state))
+    assert closed.iloc[0].tolist() == ["conv-a", 2, 1, ts2, True]
+    assert state.removed
+
+    # rows at/below the current watermark are dropped explicitly (arbitrary
+    # stateful ops don't auto-filter late data): a batch that is ALL late
+    # for a fresh key must not open a session at all
+    late_state = _FakeEventState()
+    late_state.watermark_ms = int(ts2.timestamp() * 1000)
+    assert list(fn(("conv-late",), iter([pdf]), late_state)) == []
+    assert not late_state.exists
+
+
+def test_event_time_sessionization_closes_on_watermark(spark, tmp_path):
+    """Out-of-order turns within the watermark extend a session; once the
+    watermark passes last_ts+gap the session closes, and a straggler older
+    than the watermark is dropped instead of reopening the closed session."""
+    import datetime as dt
+    import os
+
+    from elb_pipeline.streaming import conversation_sessions_event_time
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    path = str(tmp_path / "ev_in")
+    schema = "conv_id string, sink string, ts timestamp"
+    # file 1: conv-a (out-of-order inside the batch) + conv-b
+    f1 = [("conv-a", "alb", t(10, 5)), ("conv-a", "alb", t(10, 0)),
+          ("conv-b", "alb", t(10, 1))]
+    # file 2: conv-b far later (watermark jumps to 13:50, past conv-a's
+    # 10:05+30min close) + a conv-a straggler BELOW the 09:55 watermark
+    # active during this batch (dropped as late data)
+    f2 = [("conv-b", "alb", t(14, 0)), ("conv-a", "alb", t(9, 50))]
+    for i, rows in enumerate([f1, f2]):
+        sub = f"{path}/b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        for part in os.listdir(sub):
+            os.utime(f"{sub}/{part}", (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/b*")
+    )
+    sessions = conversation_sessions_event_time(
+        stream, gap="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ev_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ev_sessions").collect()
+
+    a_rows = [r for r in rows if r["conv_id"] == "conv-a"]
+    b_rows = [r for r in rows if r["conv_id"] == "conv-b"]
+    # conv-a: both in-order turns counted, straggler dropped (never 3),
+    # and the session CLOSED when the watermark passed 10:05 + 30min
+    assert max(r["n_turns"] for r in a_rows) == 2
+    assert any(r["closed"] for r in a_rows)
+    closed_a = [r for r in a_rows if r["closed"]][0]
+    assert closed_a["n_turns"] == 2
+    # conv-b: still open (last event 14:00 + gap > final watermark)
+    assert max(r["n_turns"] for r in b_rows) == 2
+    assert not any(r["closed"] for r in b_rows)
