@@ -57,6 +57,7 @@ def main() -> None:
                     split_mb=os.environ.get("SPARK_GRAFT_SPLIT_MB"),
                     input_parts=parts,
                     driver_cores=os.environ.get("SPARK_GRAFT_DRIVER_CORES"),
+                    exec_pin=os.environ.get("SPARK_GRAFT_EXEC_PIN"),
                     n_rows=n_rows,
                     total_wall=round(time.time() - t0, 1),
                 )

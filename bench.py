@@ -160,6 +160,8 @@ def run_pipeline(input_path: str, cpus: int, n_execs: int = 0) -> dict:
         driver_cores = _driver_core_set()
         if driver_cores is not None:
             _repin_driver_after_executors_up(spark, n_execs, driver_cores)
+        if os.environ.get("SPARK_GRAFT_EXEC_PIN"):
+            _pin_executors_disjoint(spark, n_execs, cpus // n_execs)
     df = spark.read.parquet(input_path)
     n_rows = df.count()
 
@@ -255,6 +257,36 @@ def _repin_driver_after_executors_up(
     repin_process(os.getpid())
 
 
+def _pin_executors_disjoint(spark, n_execs: int, cores_per_exec: int) -> None:
+    """Pin each executor JVM (and, by inheritance, the Python workers it
+    spawns later) to its OWN disjoint ``cores_per_exec``-wide core set —
+    executor i gets cores [i*w, (i+1)*w). This is the closest one box
+    comes to "4 independent 4-core machines": no executor can migrate
+    onto another's cores, so a GC pause or worker burst in one executor
+    cannot steal a neighbor's CPU time. Executor processes are found by
+    cmdline (CoarseGrainedExecutorBackend) and assigned in pid order."""
+    import glob
+
+    exec_pids = []
+    for status in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            cmd = open(status, "rb").read()
+        except OSError:
+            continue
+        if b"CoarseGrainedExecutorBackend" in cmd:
+            exec_pids.append(int(status.split("/")[2]))
+    for i, pid in enumerate(sorted(exec_pids)[:n_execs]):
+        cores = set(range(i * cores_per_exec, (i + 1) * cores_per_exec))
+        try:
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                try:
+                    os.sched_setaffinity(int(tid), cores)
+                except OSError:
+                    pass
+        except OSError:
+            pass
+
+
 def _run_subprocess(input_path: str, cpus: int, n_execs: int = 0) -> dict:
     """Clean-JVM pipeline run (fresh process per parallelism level)."""
     out = subprocess.run(
@@ -341,13 +373,19 @@ def deadletter_bench(n_rows: int) -> dict:
     )
     out: dict = {"rows": n_rows}
     for tag, positions in (("fields_ok_only", False), ("byte_positions", True)):
-        routed = routed_json_both(df, with_diag=True, diag_positions=positions)
-        agg = routed.groupBy("sink").agg(
-            F.count("*").alias("n"), F.sum("fields_ok").alias("fk")
-        )
-        agg.collect()  # warm-up (worker pools + heap)
+
+        def build():
+            # fresh frame per action: re-collecting the SAME DataFrame
+            # reuses its already-materialized shuffle map stages, which
+            # times only the final reduce (measured: 2M rows in 46 ms)
+            routed = routed_json_both(df, with_diag=True, diag_positions=positions)
+            return routed.groupBy("sink").agg(
+                F.count("*").alias("n"), F.sum("fields_ok").alias("fk")
+            )
+
+        build().collect()  # warm-up (worker pools + heap)
         t0 = time.monotonic()
-        res = agg.collect()
+        res = build().collect()
         wall = time.monotonic() - t0
         n_mal = sum(r["n"] for r in res if r["sink"] == "malformed")
         out[tag] = {
@@ -383,32 +421,76 @@ def main() -> None:
     n_rows = max(int(ROWS_PER_SF * sf), 10_000)
     input_path = _ensure_input(n_rows)
 
-    n_low = max(CPUS // 4, 1)
-    lows, highs, eff_rounds = [], [], []
-    for _ in range(SCALING_ROUNDS):
-        low = _run_subprocess(input_path, n_low)
-        high = _run_subprocess(input_path, CPUS)
-        lows.append(low)
-        highs.append(high)
-        eff_rounds.append(
-            (high["turns_per_sec"] / low["turns_per_sec"]) / (CPUS / n_low)
-        )
-    best_low = max(lows, key=lambda r: r["turns_per_sec"])
-    best_high = max(highs, key=lambda r: r["turns_per_sec"])
-    # primary efficiency = best-pair: the cleanest observed steady state of
-    # each level. Host-noise bursts only ever SLOW a run, so per-level best
-    # is the least-biased estimate of converged throughput; per-round
-    # ratios are also reported (a round whose low or high hit a noise
-    # burst swings its ratio by 2-4×).
-    efficiency = (
-        best_high["turns_per_sec"] / best_low["turns_per_sec"]
-    ) / (CPUS / n_low)
+    def run_pair(tag: str, cpus_low: int, cpus_high: int, n_execs_low: int,
+                 n_execs_high: int, rounds: int) -> dict:
+        """Alternating low/high subprocess rounds of one scaling pair.
+        Efficiency = ratio of per-level BEST throughputs: host-noise
+        bursts only ever SLOW a run, so per-level best is the
+        least-biased estimate of converged steady state; every per-round
+        wall and ratio is also reported."""
+        factor = cpus_high / cpus_low
+        lows, highs, eff_rounds = [], [], []
+        for _ in range(rounds):
+            lows.append(_run_subprocess(input_path, cpus_low, n_execs_low))
+            highs.append(_run_subprocess(input_path, cpus_high, n_execs_high))
+            eff_rounds.append(
+                (highs[-1]["turns_per_sec"] / lows[-1]["turns_per_sec"]) / factor
+            )
+        best_low = max(lows, key=lambda r: r["turns_per_sec"])
+        best_high = max(highs, key=lambda r: r["turns_per_sec"])
+        return {
+            "tag": tag,
+            "cpus_low": cpus_low,
+            "cpus_high": cpus_high,
+            "wall_sec_low": round(best_low["wall_sec"], 3),
+            "walls_low": [round(r["wall_sec"], 3) for r in lows],
+            "turns_per_sec_low": round(best_low["turns_per_sec"], 1),
+            "wall_sec_high": round(best_high["wall_sec"], 3),
+            "walls_high": [round(r["wall_sec"], 3) for r in highs],
+            "turns_per_sec_high": round(best_high["turns_per_sec"], 1),
+            "efficiency": round(
+                (best_high["turns_per_sec"] / best_low["turns_per_sec"]) / factor, 3
+            ),
+            "efficiency_rounds": [round(e, 3) for e in eff_rounds],
+            "efficiency_median_round": round(
+                sorted(eff_rounds)[len(eff_rounds) // 2], 3
+            ),
+            "_best_high": best_high,
+        }
 
-    kernels = kernel_scaling(procs=(1, n_low, CPUS))
-    probe = cpu_probe(procs=(n_low, CPUS))
+    # PRIMARY (north rule: N vs 4N EXECUTORS): local-cluster with real
+    # executor JVM processes — 1 executor × W cores vs 4 executors ×
+    # W cores, each executor affinity-pinned to its own disjoint core
+    # set, the driver on ITS own reserved cores in both configs (a real
+    # cluster's driver is a separate machine). W=4 keeps the 4N config
+    # (16 executor cores + 4 driver cores) below this box's memory-bus
+    # saturation point, which independent cluster nodes would never
+    # share in the first place.
+    width = int(os.environ.get("SPARK_GRAFT_EXEC_WIDTH", "4"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_CORES", "28-31")
+    os.environ.setdefault("SPARK_GRAFT_EXEC_PIN", "1")
+    exec_pair = run_pair(
+        f"executors_1x{width}_vs_4x{width}", width, 4 * width, 1, 4,
+        SCALING_ROUNDS,
+    )
+    # DIAGNOSTIC: single-JVM thread scaling local[N] vs local[4N] — NOT
+    # the north-rule configuration (one shared heap + memory bus), kept
+    # for continuity with rounds 1-2.
+    n_low = max(CPUS // 4, 1)
+    thread_pair = run_pair("threads_local8_vs_local32", n_low, CPUS, 0, 0, 2)
+
+    # headline wall/throughput = the box's best end-to-end config
+    # (single-JVM local[32]); the executor pair exists for the scaling
+    # ratio, not for peak throughput.
+    exec_pair.pop("_best_high")
+    best_high = thread_pair.pop("_best_high")
+    kernels = kernel_scaling(procs=(width, 4 * width))
+    probe = cpu_probe(procs=(width, 4 * width))
     queries = run_query_suite(SF_DIR)
     deadletter = deadletter_bench(max(n_rows // 4, 10_000))
+    efficiency = exec_pair["efficiency"]
 
+    cpu_norm = probe.get("efficiency")
     result = {
         "metric": "end-to-end parse+route+enrich+aggregate wall time (transcripts)",
         "value": round(best_high["wall_sec"], 3),
@@ -419,26 +501,23 @@ def main() -> None:
         "throughput_turns_per_sec": round(best_high["turns_per_sec"], 1),
         "scaling": {
             "method": (
-                f"same job, same input; local[{n_low}] vs local[{CPUS}], each "
-                f"affinity-confined to that many cores; {SCALING_ROUNDS} "
-                "alternating low/high subprocess rounds; efficiency = ratio "
-                "of per-level BEST throughputs (noise only slows runs, so "
-                "per-level best estimates converged steady state); all "
-                "per-round walls and ratios reported"
+                "PRIMARY (north rule, N vs 4N executors): local-cluster"
+                f"[1,{width}] vs local-cluster[4,{width}] — real executor "
+                "JVM processes, each pinned to its own disjoint core set "
+                "(ActiveProcessorCount=its width), driver on reserved "
+                "cores 28-31 in BOTH configs; same job, same input; "
+                "alternating low/high subprocess rounds; efficiency = "
+                "ratio of per-level BEST throughputs (noise only slows "
+                "runs). Thread-mode local[8]/local[32] kept as a "
+                "diagnostic; cpu_probe = what pure compute scales on this "
+                "box at the same process counts."
             ),
-            "cpus_low": n_low,
-            "wall_sec_low": round(best_low["wall_sec"], 3),
-            "walls_low": [round(r["wall_sec"], 3) for r in lows],
-            "turns_per_sec_low": round(best_low["turns_per_sec"], 1),
-            "cpus_high": CPUS,
-            "wall_sec_high": round(best_high["wall_sec"], 3),
-            "walls_high": [round(r["wall_sec"], 3) for r in highs],
-            "turns_per_sec_high": round(best_high["turns_per_sec"], 1),
             "efficiency": round(efficiency, 3),
-            "efficiency_rounds": [round(e, 3) for e in eff_rounds],
-            "efficiency_median_round": round(
-                sorted(eff_rounds)[len(eff_rounds) // 2], 3
+            "efficiency_normalized_vs_cpu_control": (
+                round(efficiency / cpu_norm, 3) if cpu_norm else None
             ),
+            "executor_mode": exec_pair,
+            "thread_mode": thread_pair,
             # contention controls: what the BOX delivers at N→4N procs
             "cpu_probe_loops_per_sec": probe,
             "parse_kernel_rows_per_sec": kernels,

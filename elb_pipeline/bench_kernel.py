@@ -26,10 +26,13 @@ def parse_kernel_rate(n_rows: int) -> float:
     lines = [TEXT_POOL[(i * 7 + 3) % len(TEXT_POOL)] for i in range(n_rows)]
     arr = pa.array(lines, pa.string())
     route_json_arrow(arr.slice(0, 1000))  # warm-up compile
-    t0 = time.monotonic()
-    for i in range(0, n_rows, BATCH_ROWS):
-        route_json_arrow(arr.slice(i, BATCH_ROWS))
-    return n_rows / (time.monotonic() - t0)
+    best = 0.0
+    for _ in range(2):  # best-of-2: host-noise bursts only slow a pass
+        t0 = time.monotonic()
+        for i in range(0, n_rows, BATCH_ROWS):
+            route_json_arrow(arr.slice(i, BATCH_ROWS))
+        best = max(best, n_rows / (time.monotonic() - t0))
+    return best
 
 
 def cpu_probe_rate(seconds: float = 2.0) -> float:
