@@ -584,7 +584,11 @@ def q_contamination_check(spark, sf_dir):
     whatever overlaps, no all-pairs work."""
     from elb_pipeline.dedup import _shingles
 
-    d = _read(spark, sf_dir, "documents")
+    # the test table is one tiny parquet partition — spread the
+    # shingle-explode across the session's cores (AQE coalesces at scale)
+    d = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     shingled = d.select("doc_id", F.explode(_shingles()).alias("s")).distinct()
     bench = (
         shingled.where(F.col("doc_id") < 10).select("s").distinct()

@@ -398,9 +398,15 @@ def deadletter_bench(n_rows: int) -> dict:
 
 
 def run_query_suite(sf_dir: str) -> dict[str, float]:
+    import tempfile
+
     import __spark_entry__ as entry_mod
     from elb_pipeline.session import get_spark
 
+    # cold materialization cache: queries that persist intermediates via
+    # matcache must PAY the write in their timing — a warm /tmp cache
+    # from an earlier session would fake their speed
+    os.environ["ELB_MAT_CACHE"] = tempfile.mkdtemp(prefix="elb_mat_bench_")
     spark = get_spark(app="bench_queries", master=f"local[{CPUS}]")
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():

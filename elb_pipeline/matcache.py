@@ -22,7 +22,10 @@ import shutil
 
 from pyspark.sql import DataFrame
 
-CACHE_ROOT = os.environ.get("ELB_MAT_CACHE", "/tmp/elb_mat_cache")
+def _cache_root() -> str:
+    """Resolved per call so a harness can point ELB_MAT_CACHE at a fresh
+    directory mid-process (bench.py does, to time queries cold)."""
+    return os.environ.get("ELB_MAT_CACHE", "/tmp/elb_mat_cache")
 
 
 def dir_fingerprint(path: str) -> str:
@@ -42,9 +45,10 @@ def dir_fingerprint(path: str) -> str:
 def materialize(df: DataFrame, key: str) -> DataFrame:
     """Write ``df`` to the cache under ``key`` (first caller wins the
     atomic rename race) and return the parquet read-back."""
-    path = os.path.join(CACHE_ROOT, key)
+    root = _cache_root()
+    path = os.path.join(root, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        os.makedirs(CACHE_ROOT, exist_ok=True)
+        os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         df.write.mode("overwrite").parquet(tmp)
         try:

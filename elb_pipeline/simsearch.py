@@ -72,7 +72,10 @@ def emb_pool(embeddings: DataFrame) -> DataFrame:
             ).alias("e"),
         )
     )
-    return base.unionByName(clones)
+    # spread the single-file test table across cores (cf. dedup.doc_pool)
+    return base.unionByName(clones).repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
 
 
 def emb_pool_cte() -> str:
