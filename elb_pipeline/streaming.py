@@ -304,6 +304,42 @@ def _await_drained(q, timeout: float = 300.0) -> None:
     )
 
 
+def run_routed_to_files(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """CHECKPOINT-RESUMABLE streaming pipeline run: the fused
+    route+extract+NDJSON operator over a file stream, written to a
+    parquet sink with a durable ``checkpointLocation``.
+
+    One call drains the files currently in ``input_path``
+    (``availableNow``) and terminates. Calling it AGAIN with the same
+    checkpoint directory resumes from the committed source offsets:
+    already-processed input files are skipped and the file sink's commit
+    log guarantees each input row lands in the output exactly once, even
+    if a previous run died mid-batch. This is the streaming face of the
+    batch job's bucket-group manifests (job.py) — the reference CLI has
+    no restart story at all (a killed run restarts from scratch)."""
+    routed = routed_json_stream(
+        spark, read_transcripts_stream(spark, input_path)
+    )
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("streaming file-sink drain exceeded 300s")
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     input_path: str,

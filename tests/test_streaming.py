@@ -52,6 +52,41 @@ def test_streaming_fused_json_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_checkpoint_resume(spark, tmp_path):
+    """Restarting the streaming pipeline with the same checkpointLocation
+    resumes from committed offsets: files drained by run 1 are not
+    reprocessed, late-added files are, and every turn appears in the
+    parquet sink exactly once."""
+    from elb_pipeline.streaming import run_routed_to_files
+
+    t = transcripts_from_events(spark, SF_DIR).limit(2000).cache()
+    n_total = t.count()
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = t.where(F.col("conv_id").isNotNull()).limit(1200)
+    first.write.mode("overwrite").parquet(in_dir)
+    n_first = first.count()
+
+    run_routed_to_files(spark, in_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == n_first
+
+    # add the remaining rows as a NEW file; resume from the checkpoint
+    rest = t.subtract(first)
+    rest.coalesce(1).write.mode("append").parquet(in_dir)
+    run_routed_to_files(spark, in_dir, out_dir, ckpt)
+
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == n_total  # old files skipped, new file processed
+    # exactly-once on the stable turn key
+    dups = (
+        got2.groupBy("conv_id", "turn_idx").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dups == 0
+    t.unpersist()
+
+
 def test_stateful_sessionization(spark, tmp_path):
     """applyInPandasWithState sessionization: the LAST update emitted per
     conversation must carry the full batch-computed totals."""
