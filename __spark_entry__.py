@@ -105,6 +105,50 @@ def q_parse_classic_fields(spark, sf_dir):
     )
 
 
+def q_latency_percentiles(spark, sf_dir):
+    """Per-status-code latency percentiles over the PARSED ALB fields —
+    the field-level analytics the reference's JSON-out design never
+    reaches. Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`) of target_processing_time, excluding the
+    grammar's '-1' no-target sentinel; rounded so the cross-engine
+    float compare is stable. At scale this is one partial-aggregable
+    shuffle on a low-cardinality key."""
+    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
+    df = with_dialect_struct(df, SINK_ALB)
+    t = alb_field("target_processing_time").cast("double")
+    g = (
+        df.select(
+            alb_field("elb_status_code"), t.alias("t")
+        )
+        .where(F.col("t") >= 0)
+        .groupBy("elb_status_code")
+    )
+    return g.agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile(F.col("t"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("t"), F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile(F.col("t"), F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def q_url_domain_topk(spark, sf_dir):
+    """Top-10 request domains by hit count from the parsed ALB url field
+    (host = scheme://<host-no-slash-colon>), deterministic tiebreak on
+    domain so the limit boundary is engine-stable. TakeOrderedAndProject
+    top-k — no global sort."""
+    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
+    df = with_dialect_struct(df, SINK_ALB)
+    dom = F.regexp_extract(alb_field("url"), r"^[a-z]+://([^/:]+)", 1)
+    return (
+        df.select(dom.alias("domain"))
+        .where(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("domain"))
+        .limit(10)
+    )
+
+
 def q_alb_json_lines(spark, sf_dir):
     df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
     df = with_dialect_struct(df, SINK_ALB)
@@ -721,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_sets": q_route_sets,
         "parse_alb_fields": q_parse_alb_fields,
         "parse_classic_fields": q_parse_classic_fields,
+        "latency_percentiles": q_latency_percentiles,
+        "url_domain_topk": q_url_domain_topk,
         "alb_json_lines": q_alb_json_lines,
         "classic_json_lines": q_classic_json_lines,
         "enrich_rollup": q_enrich_rollup,
@@ -836,6 +882,24 @@ def oracle_sql() -> dict[str, str]:
         "parse_alb_fields": pre(
             f", {O.alb_extract_cte()} "
             f"SELECT conv_id, turn_idx, {O.alb_field_select()} FROM alb_ext"
+        ),
+        "latency_percentiles": pre(
+            f", {O.alb_extract_cte()}, "
+            "lat AS (SELECT x.elb_status_code AS elb_status_code, "
+            "CAST(x.target_processing_time AS DOUBLE) AS t FROM alb_ext) "
+            "SELECT elb_status_code, CAST(count(*) AS BIGINT) AS n, "
+            "round(quantile_cont(t, 0.5), 6) AS p50, "
+            "round(quantile_cont(t, 0.95), 6) AS p95, "
+            "round(quantile_cont(t, 0.99), 6) AS p99 "
+            "FROM lat WHERE t >= 0 GROUP BY elb_status_code"
+        ),
+        "url_domain_topk": pre(
+            f", {O.alb_extract_cte()}, "
+            "doms AS (SELECT regexp_extract(x.url, '^[a-z]+://([^/:]+)', 1) "
+            "AS domain FROM alb_ext) "
+            "SELECT domain, CAST(count(*) AS BIGINT) AS n FROM doms "
+            "WHERE domain != '' GROUP BY domain "
+            "ORDER BY n DESC, domain LIMIT 10"
         ),
         "parse_classic_fields": pre(
             f", {O.classic_extract_cte()} "
