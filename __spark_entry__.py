@@ -205,7 +205,9 @@ def q_dead_letter_diag(spark, sf_dir):
     the byte-exact failed_position (reference parse.rs:22-41 semantics) is
     covered by tests/test_deadletter.py against a linear DFA-alive walk."""
     df = _routed(spark, sf_dir).where(F.col("sink") == SINK_MALFORMED)
-    return with_diagnosis(df).select(
+    # positions=False: this query projects only nearest_dialect/fields_ok,
+    # so the per-row byte-exact bisection would be computed and discarded
+    return with_diagnosis(df, positions=False).select(
         "conv_id", "turn_idx", "nearest_dialect", "fields_ok"
     )
 
@@ -530,11 +532,16 @@ def q_simhash_near_dup(spark, sf_dir):
     from elb_pipeline.dedup import doc_pool, simhash32
     from elb_pipeline.matcache import materialize
 
+    import inspect
+
+    from elb_pipeline.dedup import _simhash32_batch, algo_params
+
     pool = materialize(
         doc_pool(_read(spark, sf_dir, "documents")).select(
             "doc_id", simhash32(F.col("text")).alias("sh")
         ),
         f"simhash32_{_doc_cache_key(sf_dir)}",
+        params=algo_params() + (inspect.getsource(_simhash32_batch),),
     )
     bands = pool.select(
         "doc_id",
@@ -708,6 +715,81 @@ def q_ndjson_ordered_lines(spark, sf_dir):
     )
 
 
+N_ORDERED_SHARDS = 8
+SESSION_GAP_SECONDS = 30 * 60
+
+
+def q_ndjson_sharded_lines(spark, sf_dir):
+    """SCALE-OUT ordered NDJSON export (VERDICT r3 #5): the single-stream
+    variant's global total order, reproduced with NO single-partition
+    stage. Shard = an order-preserving deterministic range partition of
+    the conv_id keyspace (floor(conv_num·S/(max+1)) — monotone in the
+    sort key, so concatenating shards 0..S-1 yields exactly the global
+    (conv_id, turn_idx) sequence); line numbering runs per shard via a
+    window PARTITIONED by shard (parallel, one shard per task). The
+    arithmetic shard function (instead of repartitionByRange's sampled
+    boundaries) is what makes the oracle twin possible — DuckDB recomputes
+    identical shard ids and intra-shard line numbers. The file-writing
+    face of this plan is job.export_ndjson_sharded (repartitionByRange),
+    pytest-checked against the single-stream export's byte sequence."""
+    both = q_alb_json_lines(spark, sf_dir).unionByName(
+        q_classic_json_lines(spark, sf_dir)
+    )
+    num = F.substring("conv_id", 6, 6).cast("int")
+    # keyspace bound from the CHEAP transcripts scan (one max over a
+    # pruned column — O(1) driver scalar, same pattern as the ANN query
+    # vector), not from the parsed frame: a cross-join against a 1-row
+    # agg would plan a BroadcastNestedLoopJoin and re-run the whole parse
+    mxv = (
+        transcripts_cached(spark, sf_dir)
+        .agg(F.max(F.substring("conv_id", 6, 6).cast("int")))
+        .first()[0]
+    )
+    sharded = both.withColumn(
+        "shard",
+        F.least(
+            F.floor(num * N_ORDERED_SHARDS / F.lit(mxv + 1)),
+            F.lit(N_ORDERED_SHARDS - 1),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("conv_id", "turn_idx")
+    return sharded.select(
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_line_no"),
+        "json",
+    )
+
+
+def q_conversation_sessions_batch(spark, sf_dir):
+    """BATCH REPLAY of the event-time sessionization (VERDICT r3 #6): the
+    same gap rule the streaming operator applies incrementally
+    (streaming.conversation_sessions_event_time — a new session starts
+    when a turn arrives more than GAP after the session's last event),
+    expressed as lag/cumsum windows so DuckDB can recompute the exact
+    session boundaries. Epoch-microsecond comparisons keep the two
+    engines bit-identical. Distributed shape: both windows partition by
+    conv_id — one shuffle, no global ordering anywhere."""
+    t = transcripts_cached(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned to UTC, so the
+    # NTZ→TZ cast is exactly DuckDB's naive-as-UTC epoch_us convention
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_sess = (
+        (us - F.lag(us).over(w)) > SESSION_GAP_SECONDS * 1_000_000
+    ).cast("int")
+    run = Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = t.withColumn(
+        "session_idx", F.sum(F.coalesce(new_sess, F.lit(0))).over(run)
+    )
+    return sess.groupBy("conv_id", "session_idx").agg(
+        F.count("*").alias("n_turns"),
+        F.min(us).alias("session_start_us"),
+        F.max(us).alias("session_end_us"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -776,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dead_letter_rows": q_dead_letter_rows,
         "dead_letter_diag": q_dead_letter_diag,
         "ndjson_ordered_lines": q_ndjson_ordered_lines,
+        "ndjson_sharded_lines": q_ndjson_sharded_lines,
+        "conversation_sessions_batch": q_conversation_sessions_batch,
         "file_corpus_route_counts": q_file_corpus_route_counts,
         "tpch_q1": q_tpch_q1,
         "top_events_per_user": q_top_events_per_user,
@@ -957,6 +1041,38 @@ def oracle_sql() -> dict[str, str]:
             "AS json FROM clb_ext) "
             "SELECT row_number() OVER (ORDER BY conv_id, turn_idx) AS line_no, "
             "json FROM both_sinks"
+        ),
+        "ndjson_sharded_lines": pre(
+            f", {O.alb_extract_cte()}, {O.classic_extract_cte()}, "
+            f"both_sinks AS (SELECT conv_id, turn_idx, {O.alb_json_expr()} AS json "
+            "FROM alb_ext "
+            f"UNION ALL SELECT conv_id, turn_idx, {O.classic_json_expr()} "
+            "AS json FROM clb_ext), "
+            "mx AS (SELECT max(CAST(substr(conv_id, 6) AS INT)) AS mx "
+            "FROM transcripts), "
+            "sharded AS (SELECT conv_id, turn_idx, json, "
+            "CAST(least(floor(CAST(substr(conv_id, 6) AS INT) "
+            f"* {N_ORDERED_SHARDS} / (mx + 1)), {N_ORDERED_SHARDS - 1}) AS INT) "
+            "AS shard FROM both_sinks, mx) "
+            "SELECT shard, row_number() OVER ("
+            "PARTITION BY shard ORDER BY conv_id, turn_idx) AS shard_line_no, "
+            "json FROM sharded"
+        ),
+        "conversation_sessions_batch": pre(
+            ", stamped AS (SELECT conv_id, turn_idx, epoch_us(ts) AS us "
+            "FROM transcripts), "
+            "flagged AS (SELECT conv_id, turn_idx, us, "
+            "CASE WHEN us - lag(us) OVER ("
+            "PARTITION BY conv_id ORDER BY us, turn_idx) "
+            f"> {SESSION_GAP_SECONDS * 1_000_000} THEN 1 ELSE 0 END AS new_sess "
+            "FROM stamped), "
+            "sessed AS (SELECT conv_id, us, "
+            "CAST(sum(new_sess) OVER (PARTITION BY conv_id "
+            "ORDER BY us, turn_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS session_idx FROM flagged) "
+            "SELECT conv_id, session_idx, count(*) AS n_turns, "
+            "min(us) AS session_start_us, max(us) AS session_end_us "
+            "FROM sessed GROUP BY conv_id, session_idx"
         ),
         "file_corpus_route_counts": _file_corpus_oracle_sql(),
         "tpch_q1": (

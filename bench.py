@@ -397,6 +397,49 @@ def deadletter_bench(n_rows: int) -> dict:
     return out
 
 
+def run_job_diag_bench(input_path: str, max_rows: int = 2_000_000) -> dict:
+    """VERDICT r3 #7: the byte-position diagnosis cost measured INSIDE the
+    full job — realistic ~18.5% malformed mix, strict-skip mode, fan-out
+    parquet write included — not just the isolated all-malformed harness.
+    Identical input both ways; fresh output dirs so both runs pay the
+    full write. ``max_rows`` caps the slice (deterministic sample) so the
+    two extra end-to-end runs don't dominate the bench wall."""
+    import shutil
+    import tempfile
+
+    from elb_pipeline.job import run_job
+    from elb_pipeline.session import get_spark
+
+    spark = get_spark(app="bench_job_diag", master=f"local[{CPUS}]")
+    t = spark.read.parquet(input_path)
+    total = t.count()
+    if total > max_rows:
+        t = t.sample(max_rows / total, seed=42)
+    n_rows = t.count()
+    out: dict = {"rows": n_rows}
+    # untimed warm-up: fault in worker pools + heap before either timed run
+    warm = tempfile.mkdtemp(prefix="elb_jobdiag_warm_")
+    run_job(spark, t.sample(0.08, seed=1), warm, n_groups=1, resume=False)
+    shutil.rmtree(warm, ignore_errors=True)
+    for tag, positions in (
+        ("diag_positions_on", True),
+        ("diag_positions_off", False),
+    ):
+        d = tempfile.mkdtemp(prefix=f"elb_jobdiag_{tag}_")
+        t0 = time.monotonic()
+        run_job(
+            spark, t, d, n_groups=1, resume=False, diag_positions=positions
+        )
+        wall = time.monotonic() - t0
+        out[tag] = {
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall, 1),
+        }
+        shutil.rmtree(d, ignore_errors=True)
+    spark.stop()
+    return out
+
+
 def run_query_suite(sf_dir: str) -> dict[str, float]:
     import tempfile
 
@@ -494,6 +537,7 @@ def main() -> None:
     probe = cpu_probe(procs=(width, 4 * width))
     queries = run_query_suite(SF_DIR)
     deadletter = deadletter_bench(max(n_rows // 4, 10_000))
+    job_diag = run_job_diag_bench(input_path)
     efficiency = exec_pair["efficiency"]
 
     cpu_norm = probe.get("efficiency")
@@ -529,6 +573,7 @@ def main() -> None:
             "parse_kernel_rows_per_sec": kernels,
         },
         "deadletter_diag": deadletter,
+        "run_job_diag": job_diag,
         "sink_totals": best_high["sink_totals"],
     }
     print(json.dumps(result))

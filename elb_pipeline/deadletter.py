@@ -223,10 +223,16 @@ def diagnose_arrow(text: pa.Array, positions: bool = True) -> list[pa.Array]:
     ]
 
 
-def with_diagnosis(df, text_col: str = "text"):
+def with_diagnosis(df, text_col: str = "text", positions: bool = True):
     """Append (nearest_dialect, fields_ok, failed_position) to a frame of
     (presumed malformed) lines — standalone variant of the diagnosis that
-    ``parse.routed_json_both(with_diag=True)`` fuses into the hot path."""
+    ``parse.routed_json_both(with_diag=True)`` fuses into the hot path.
+
+    ``positions=False`` skips the per-row byte-exact bisection and emits a
+    null ``failed_position`` column (same passthrough as the fused path's
+    ``diag_positions`` gate) — use it whenever the consumer only needs
+    nearest_dialect/fields_ok, otherwise the most expensive diagnosis step
+    runs for a column that is immediately discarded."""
     from collections.abc import Iterator
 
     from pyspark.sql import types as T
@@ -246,7 +252,7 @@ def with_diagnosis(df, text_col: str = "text"):
             text = batch.column(idx)
             if isinstance(text, pa.ChunkedArray):
                 text = text.combine_chunks()
-            diag = diagnose_arrow(text.cast(pa.string()))
+            diag = diagnose_arrow(text.cast(pa.string()), positions=positions)
             yield pa.RecordBatch.from_arrays(
                 [*batch.columns, *diag],
                 names=[*batch.schema.names, *DIAG_FIELDS],

@@ -44,6 +44,27 @@ N_SIGS = N_BANDS * ROWS_PER_BAND  # 8 minhash signatures
 JACCARD_THRESHOLD = 0.5
 
 
+def algo_params() -> tuple:
+    """Everything the signature/pair/group derivation depends on — folded
+    into every matcache key (``matcache.params_token``) so changing any
+    constant or the minhash kernel busts the cache instead of silently
+    serving parquet computed by the previous version of the logic."""
+    import inspect
+
+    return (
+        N_SIGS,
+        N_BANDS,
+        ROWS_PER_BAND,
+        JACCARD_THRESHOLD,
+        EXACT_MOD,
+        NEAR_MOD,
+        EXACT_OFFSET,
+        NEAR_OFFSET,
+        NEAR_TAIL,
+        inspect.getsource(_minhash_batch),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared pool (Spark + SQL twins)
 # ---------------------------------------------------------------------------
@@ -135,30 +156,81 @@ _SHINGLES_SQL = (
 )
 
 
+def _flatten_counts(lists) -> tuple[list, "object"]:
+    """Flatten a sequence of shingle lists into one array + per-row count
+    (empty/None rows contribute nothing). Shared by both sketch kernels so
+    the hash work runs once per UNIQUE shingle in the batch, not once per
+    occurrence — documents drawn from a shared vocabulary repeat shingles
+    heavily, and the per-doc reductions then run as numpy ``reduceat``
+    over the flattened (code → unique) indirection."""
+    import numpy as np
+
+    flat: list = []
+    cnt = np.zeros(len(lists), dtype=np.int64)
+    for j, s in enumerate(lists):
+        if s is not None and len(s):
+            cnt[j] = len(s)
+            flat.extend(s)
+    return flat, cnt
+
+
+def _seg_starts(cnt):
+    """reduceat segment starts for the non-empty rows of ``cnt``."""
+    import numpy as np
+
+    ne = cnt[cnt > 0]
+    starts = np.zeros(len(ne), dtype=np.int64)
+    if len(ne) > 1:
+        starts[1:] = np.cumsum(ne)[:-1]
+    return starts
+
+
 def _minhash_batch(sh: pd.Series) -> pd.Series:
     """All N_SIGS minhashes per row in one Arrow-batched pass:
-    min(md5(shingle + '#i')) per seed i. Semantically identical to the
-    declarative ``array_min(transform(sh, s -> md5(s || '#i')))`` tower,
-    but 8 stacked transform/array_min lambda expressions fall out of
-    whole-stage codegen (interpreted per-element eval, measured ~14 s for
-    5.8k docs at sf0.1 — same pathology as simhash32); hashlib in one
-    Python pass is ~30×."""
+    min(md5(shingle + '#i')) per seed i — identical values to the
+    declarative ``array_min(transform(sh, s -> md5(s || '#i')))`` tower
+    (which falls out of whole-stage codegen; see round-2 notes) and to the
+    DuckDB oracle twin (signatures_cte).
+
+    Vectorized shape (VERDICT r3 #4): shingles are factorized so each
+    UNIQUE shingle is hashed once (one md5 + N_SIGS cheap ``copy()``+seed
+    updates — md5('s'+seed) with the common prefix digested once), then
+    the per-document minimum runs as ``np.minimum.reduceat`` over hash
+    RANKS (int64) instead of a Python loop over every occurrence×seed.
+    At 100 TB this is the per-row map stage of the dedup pipeline; the
+    only remaining Python-per-item work is one light pass per unique
+    shingle in the Arrow batch."""
     import hashlib
 
+    import numpy as np
+
+    lists = list(sh)
+    flat, cnt = _flatten_counts(lists)
+    out: list = [None] * len(lists)
+    if not flat:
+        return pd.Series(out)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    n_u = len(uniques)
     seeds = [f"#{i}".encode() for i in range(N_SIGS)]
-    out = []
-    for shingles in sh:
-        if shingles is None or len(shingles) == 0:
-            out.append(None)
-            continue
-        mins: list[str | None] = [None] * N_SIGS
-        for s in shingles:
-            raw = s.encode()
-            for i, seed in enumerate(seeds):
-                h = hashlib.md5(raw + seed).hexdigest()
-                if mins[i] is None or h < mins[i]:
-                    mins[i] = h
-        out.append(mins)
+    hexes = np.empty((N_SIGS, n_u), dtype="S32")
+    for u_idx, u in enumerate(uniques):
+        base = hashlib.md5(u.encode())
+        for i, seed in enumerate(seeds):
+            h = base.copy()
+            h.update(seed)
+            hexes[i, u_idx] = h.hexdigest()
+    starts = _seg_starts(cnt)
+    ne_rows = np.flatnonzero(cnt > 0)
+    mins_per_seed = []
+    for i in range(N_SIGS):
+        arr = hexes[i]
+        order = np.argsort(arr, kind="stable")
+        ranks = np.empty(n_u, dtype=np.int64)
+        ranks[order] = np.arange(n_u)
+        min_ranks = np.minimum.reduceat(ranks[codes], starts)
+        mins_per_seed.append(arr[order[min_ranks]])
+    for pos, row in enumerate(ne_rows):
+        out[row] = [mins_per_seed[i][pos].decode() for i in range(N_SIGS)]
     return pd.Series(out)
 
 
@@ -188,7 +260,7 @@ def materialized_signatures(pool: DataFrame, cache_key: str | None = None) -> Da
     if cache_key is not None:
         from elb_pipeline.matcache import materialize
 
-        return materialize(sigs, f"minhash_sigs_{cache_key}")
+        return materialize(sigs, f"minhash_sigs_{cache_key}", params=algo_params())
     return sigs.persist()
 
 
@@ -300,26 +372,46 @@ def verified_pairs_cte() -> str:
 # ---------------------------------------------------------------------------
 
 def _simhash32_batch(text: pd.Series) -> pd.Series:
+    """Vectorized (VERDICT r3 #4): word-3-gram shingles are factorized so
+    each UNIQUE shingle is md5-hashed once into a 32-bit row of the
+    unique→bits matrix; per-document bit counts are one
+    ``np.add.reduceat`` over the flattened occurrence codes (multiplicity
+    preserved — each occurrence votes), and the majority threshold + bit
+    packing are pure numpy. Values identical to the per-row form (bit k =
+    majority of md5-hex-digit-k high bits across shingles) and to the
+    DuckDB oracle recomputation."""
     import hashlib
 
     import numpy as np
 
-    out = np.zeros(len(text), dtype=np.int64)
-    for row, t in enumerate(text):
+    n_rows = len(text)
+    lists: list = [None] * n_rows
+    for j, t in enumerate(text):
         if not isinstance(t, str):
             continue
         ws = t.split(" ")
         if len(ws) < 3:
             continue
-        n = len(ws) - 2
-        counts = np.zeros(32, dtype=np.int64)
-        for i in range(n):
-            dg = hashlib.md5(" ".join(ws[i : i + 3]).encode()).digest()
-            b = np.frombuffer(dg, dtype=np.uint8)
-            counts[0::2] += (b >> 7) & 1  # high nibble's high bit → odd digits
-            counts[1::2] += (b >> 3) & 1  # low nibble's high bit → even digits
-        bits = np.nonzero(2 * counts > n)[0]
-        out[row] = int(np.sum(1 << bits.astype(np.int64)))
+        lists[j] = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+    flat, cnt = _flatten_counts(lists)
+    out = np.zeros(n_rows, dtype=np.int64)
+    if not flat:
+        return pd.Series(out)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    # int32 vote rows: reduceat accumulates in the input dtype, and int32
+    # headroom (2^31 same-bit occurrences per doc) can't overflow on any
+    # real document
+    bits_u = np.empty((len(uniques), 32), dtype=np.int32)
+    for u_idx, u in enumerate(uniques):
+        b = np.frombuffer(hashlib.md5(u.encode()).digest(), dtype=np.uint8)
+        bits_u[u_idx, 0::2] = (b >> 7) & 1  # high nibble's high bit → odd digits
+        bits_u[u_idx, 1::2] = (b >> 3) & 1  # low nibble's high bit → even digits
+    starts = _seg_starts(cnt)
+    counts = np.add.reduceat(bits_u[codes], starts, axis=0)
+    ne = cnt[cnt > 0]
+    weights = np.int64(1) << np.arange(32, dtype=np.int64)
+    vals = ((2 * counts > ne[:, None]) * weights).sum(axis=1)
+    out[np.flatnonzero(cnt > 0)] = vals
     return pd.Series(out)
 
 
@@ -346,7 +438,19 @@ def dup_groups(pairs: DataFrame, cache_key: str | None = None) -> DataFrame:
     import uuid
 
     sc = pairs.sparkSession.sparkContext
-    persisted_before = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    owned_rdd_ids: set = set()  # ids of the RDDs THIS call persists
+
+    def _lc(df: DataFrame) -> DataFrame:
+        """localCheckpoint with the persisted-RDD id recorded as OURS —
+        the checkpoint RDD has no DataFrame handle to unpersist through,
+        and a blanket since-entry sweep would also release caches other
+        threads persisted concurrently on the shared session."""
+        before = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        out = df.localCheckpoint()
+        after = {k for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        owned_rdd_ids.update(after - before)
+        return out
+
     pairs = pairs.persist()  # read twice (both edge directions) below
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -356,10 +460,9 @@ def dup_groups(pairs: DataFrame, cache_key: str | None = None) -> DataFrame:
     )
     edges.count()  # materializes edges; pairs no longer needed
     pairs.unpersist()
-    labels = (
+    labels = _lc(
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     while True:
         # neighbor-min pass: label(node) ← min(label(node), min over
@@ -371,10 +474,9 @@ def dup_groups(pairs: DataFrame, cache_key: str | None = None) -> DataFrame:
             edges.join(labels, edges.dst == labels.node)
             .select(edges.src.alias("node"), "label")
         )
-        new_labels = (
+        new_labels = _lc(
             labels.select("node", "label").unionByName(nbr)
             .groupBy("node").agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -390,13 +492,16 @@ def dup_groups(pairs: DataFrame, cache_key: str | None = None) -> DataFrame:
     )
     from elb_pipeline.matcache import materialize
 
-    out = materialize(out, f"dup_groups_{cache_key or uuid.uuid4().hex[:12]}")
+    out = materialize(
+        out,
+        f"dup_groups_{cache_key or uuid.uuid4().hex[:12]}",
+        params=algo_params(),
+    )
     edges.unpersist()
-    # release every RDD persisted during this call (the iteration
-    # checkpoints have no DataFrame handle to unpersist through); the
-    # result now reads parquet, so none of them back it.
+    # release exactly the checkpoint RDDs THIS call created (tracked in
+    # _lc above); the result now reads parquet, so none of them back it.
     jmap = sc._jsc.getPersistentRDDs()
-    for rdd_id in {k for k in jmap.keySet().toArray()} - persisted_before:
+    for rdd_id in owned_rdd_ids:
         jrdd = jmap.get(rdd_id)
         if jrdd is not None:
             jrdd.unpersist(False)

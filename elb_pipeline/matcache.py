@@ -22,10 +22,30 @@ import shutil
 
 from pyspark.sql import DataFrame
 
+# Bump when the on-disk layout/meaning of cached frames changes in a way
+# not captured by callers' params tuples.
+MATCACHE_FORMAT_VERSION = "2"
+
+
 def _cache_root() -> str:
     """Resolved per call so a harness can point ELB_MAT_CACHE at a fresh
-    directory mid-process (bench.py does, to time queries cold)."""
-    return os.environ.get("ELB_MAT_CACHE", "/tmp/elb_mat_cache")
+    directory mid-process (bench.py does, to time queries cold). The
+    default is per-user: a world-shared /tmp path would let one user's
+    cache (or a planted directory) be served to another."""
+    return os.environ.get("ELB_MAT_CACHE", f"/tmp/elb_mat_cache_{os.getuid()}")
+
+
+def params_token(params: tuple) -> str:
+    """Digest of the algorithm parameters/code a cached frame depends on.
+    Folded into every cache key so changing a constant (band count,
+    Jaccard threshold, …) or a kernel's source can never serve stale
+    parquet from the previous version of the logic — the input-files
+    fingerprint alone only protects against changed DATA, not changed
+    CODE."""
+    h = hashlib.md5(MATCACHE_FORMAT_VERSION.encode())
+    for p in params:
+        h.update(repr(p).encode())
+    return h.hexdigest()[:10]
 
 
 def dir_fingerprint(path: str) -> str:
@@ -42,11 +62,14 @@ def dir_fingerprint(path: str) -> str:
     return h.hexdigest()[:12]
 
 
-def materialize(df: DataFrame, key: str) -> DataFrame:
+def materialize(df: DataFrame, key: str, params: tuple = ()) -> DataFrame:
     """Write ``df`` to the cache under ``key`` (first caller wins the
-    atomic rename race) and return the parquet read-back."""
+    atomic rename race) and return the parquet read-back. ``params`` is
+    the tuple of algorithm constants / kernel source the frame's contents
+    depend on — it is hashed into the directory name, so a logic change
+    always misses the old cache instead of silently reusing it."""
     root = _cache_root()
-    path = os.path.join(root, key)
+    path = os.path.join(root, f"{key}-v{params_token(params)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"

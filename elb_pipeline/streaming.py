@@ -154,6 +154,21 @@ def conversation_sessions(
     )
 
 
+def _epoch_ms(t) -> int:
+    """Timestamp → epoch ms under ONE convention: naive values are UTC
+    wall-clock (``get_spark`` pins ``spark.sql.session.timeZone=UTC``, so
+    the naive timestamps Spark hands the state function ARE UTC). The
+    previous mix of ``Series.astype('int64')`` (naive-as-UTC) in the late
+    filter and ``datetime.timestamp()`` (naive-as-HOST-LOCAL) in the
+    timeout drifted by the host's UTC offset on any non-UTC machine."""
+    import pandas as pd
+
+    ts = pd.Timestamp(t)
+    if ts.tzinfo is not None:
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return ts.value // 1_000_000
+
+
 def _event_session_update_fn(gap_ms: int):
     """Per-group state update for EVENT-TIME sessionization: the session
     closes when the stream's watermark passes last_ts + gap, so late
@@ -179,23 +194,40 @@ def _event_session_update_fn(gap_ms: int):
         # the current watermark explicitly, or a straggler older than the
         # watermark would silently reopen/extend a closed session.
         wm_ms = state.getCurrentWatermarkMs()
-        grew = False
+        surv = []
         for pdf in pdfs:
             if wm_ms > 0:
                 pdf = pdf[(pdf["ts"].astype("int64") // 1_000_000) > wm_ms]
-            if not len(pdf):
-                continue
-            grew = True
+            if len(pdf):
+                surv.append(pdf)
+        if not surv:
+            # Every row was late. Fresh key: start no session. Existing
+            # session: leave the state AND its already-armed timeout
+            # untouched — re-arming with last_ts+gap here could set a
+            # timestamp at or below the current watermark, which Spark
+            # rejects (INVALID_TIMEOUT_TIMESTAMP) and kills the query.
+            return
+        if state.exists and wm_ms > _epoch_ms(last_ts) + gap_ms:
+            # The session's close time already passed the watermark, but
+            # data groups are processed BEFORE timed-out states within a
+            # micro-batch, so the timeout hasn't fired yet. The surviving
+            # on-time rows belong to a NEW session: emit the old one
+            # closed and reset, honoring the gap contract.
+            yield pd.DataFrame(
+                [[conv_id, n_turns, n_mal, last_ts, True]], columns=cols
+            )
+            n_turns, n_mal, last_ts = 0, 0, None
+        for pdf in surv:
             n_turns += len(pdf)
             n_mal += int((pdf["sink"] == "malformed").sum())
             mx = pdf["ts"].max()
             last_ts = mx if last_ts is None else max(last_ts, mx)
-        if not grew and not state.exists:
-            return  # every row was late — start no session
         state.update((n_turns, n_mal, last_ts))
         # close when the WATERMARK (event time), not the wall clock,
-        # passes last activity + gap
-        state.setTimeoutTimestamp(int(last_ts.timestamp() * 1000) + gap_ms)
+        # passes last activity + gap; clamp above the current watermark
+        # for the boundary case wm == last_ts + gap (Spark requires a
+        # timeout strictly greater than the watermark)
+        state.setTimeoutTimestamp(max(_epoch_ms(last_ts) + gap_ms, wm_ms + 1))
         yield pd.DataFrame(
             [[conv_id, n_turns, n_mal, last_ts, False]], columns=cols
         )

@@ -84,3 +84,21 @@ def test_diagnose_arrow_shape_and_tiebreak():
     assert dialect[1].as_py() is None and fields_ok[1].as_py() is None
     assert dialect[2].as_py() == "alb" and fields_ok[2].as_py() == 2
     assert pos[2].as_py() == len("h2 2024-05-28T13:34:14.804475Z")
+
+
+def test_with_diagnosis_positions_gate(spark):
+    """positions=False skips the per-row bisection: same nearest_dialect/
+    fields_ok columns, failed_position all-null (VERDICT r3 #3 — the
+    oracled diag query must not compute byte positions it discards)."""
+    from elb_pipeline.deadletter import with_diagnosis
+
+    df = spark.createDataFrame(
+        [("garbage",), ("h2 2024-05-28T13:34:14.804475Z",)], "text string"
+    )
+    fast = with_diagnosis(df, positions=False).collect()
+    full = with_diagnosis(df, positions=True).collect()
+    assert all(r["failed_position"] is None for r in fast)
+    assert {(r["text"], r["nearest_dialect"], r["fields_ok"]) for r in fast} == {
+        (r["text"], r["nearest_dialect"], r["fields_ok"]) for r in full
+    }
+    assert any(r["failed_position"] is not None for r in full)

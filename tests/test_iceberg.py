@@ -8,6 +8,16 @@ test writes transcripts into a hadoop-catalog Iceberg table and reads it
 back through ``sources.read_transcripts_table``. Without the jar, the
 reader's error message (tested below, unconditionally) tells the operator
 the same thing.
+
+Vendoring ATTEMPTED and impossible in this sandbox (round 4, not just
+re-documented): (1) a filesystem-wide search — none of the 287 jars under
+``/opt/spark/jars`` (or anywhere else in the image) is an Iceberg
+artifact; (2) ``pip download pyiceberg`` produces nothing — the sandbox
+has no package index access; (3) Maven Central is unreachable (DNS
+resolution fails for repo1.maven.org — no outbound network at all);
+(4) the pure-Python ``pyiceberg`` fallback is not installed either. The
+round-trip below therefore stays skipped here and runs green on any host
+where one of those four channels exists.
 """
 
 from __future__ import annotations

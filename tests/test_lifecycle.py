@@ -35,3 +35,26 @@ def test_dup_groups_unpersists_inputs(spark):
     # localCheckpoint) — nothing may survive the call.
     leaked = _persistent_ids(spark) - before
     assert leaked == set(), f"persisted RDDs leaked by dup_groups: {leaked}"
+
+
+def test_dup_groups_leaves_foreign_caches_alone(spark):
+    """The cleanup sweep is scoped to RDDs dup_groups itself created: a
+    cache persisted by another query/thread sharing the session must
+    survive the call (ADVICE r3 — a blanket since-entry diff would
+    silently unpersist it and cause surprise recomputation)."""
+    import __spark_entry__ as entry_mod
+
+    foreign = spark.range(100).persist()
+    foreign.count()  # actually materialized
+    try:
+        qs = entry_mod.queries()
+        qs["minhash_lsh_groups"](spark, SF_DIR).count()
+        assert foreign.storageLevel.useMemory, "foreign cache was unpersisted"
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        ids = {k for k in jmap.keySet().toArray()}
+        assert any(
+            jmap.get(i) is not None and jmap.get(i).getStorageLevel().useMemory()
+            for i in ids
+        ), "foreign cache no longer persisted on the context"
+    finally:
+        foreign.unpersist()

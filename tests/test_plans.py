@@ -73,6 +73,27 @@ def test_fused_operator_input_is_pruned(spark):
         assert unused not in read_schema
 
 
+def test_sharded_export_has_no_single_partition_exchange(spark):
+    """ndjson_sharded_lines is the SCALE-OUT ordered export: its window
+    partitions by shard, so the plan must contain no single-partition
+    exchange (the ordered single-stream variant has one by design)."""
+    p = plan_of(entry_mod.q_ndjson_sharded_lines(spark, SF_DIR), mode="simple")
+    assert "SinglePartition" not in p
+    ordered = plan_of(
+        entry_mod.q_ndjson_ordered_lines(spark, SF_DIR), mode="simple"
+    )
+    assert "SinglePartition" in ordered  # the contrast that motivates it
+
+
+def test_sessions_batch_single_shuffle_on_conv_id(spark):
+    """Batch sessionization: both windows and the final groupBy share the
+    conv_id partitioning — exactly ONE exchange in the plan."""
+    p = plan_of(
+        entry_mod.q_conversation_sessions_batch(spark, SF_DIR), mode="simple"
+    )
+    assert p.count("Exchange") == 1, p
+
+
 def test_no_cartesian_anywhere_in_suite(spark):
     """No query may plan a CartesianProduct or BroadcastNestedLoopJoin on
     the fact side (the IVF pivot cross-join is an intentional broadcast

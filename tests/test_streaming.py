@@ -206,7 +206,8 @@ def test_event_session_update_fn_sets_event_time_timeout():
     (out,) = list(fn(("conv-a",), iter([pdf]), state))
     assert out.iloc[0].tolist() == ["conv-a", 2, 1, ts2, False]
     # timeout armed at last EVENT time + gap, not a processing-time delay
-    assert state.timeout_ts_ms == int(ts2.timestamp() * 1000) + gap_ms
+    # (naive-as-UTC epoch — host-timezone independent)
+    assert state.timeout_ts_ms == ts2.value // 1_000_000 + gap_ms
 
     state.hasTimedOut = True
     (closed,) = list(fn(("conv-a",), iter([]), state))
@@ -217,9 +218,92 @@ def test_event_session_update_fn_sets_event_time_timeout():
     # stateful ops don't auto-filter late data): a batch that is ALL late
     # for a fresh key must not open a session at all
     late_state = _FakeEventState()
-    late_state.watermark_ms = int(ts2.timestamp() * 1000)
+    late_state.watermark_ms = ts2.value // 1_000_000
     assert list(fn(("conv-late",), iter([pdf]), late_state)) == []
     assert not late_state.exists
+
+
+def test_event_session_all_late_existing_session_no_rearm():
+    """A batch that delivers ONLY late rows for an EXISTING session must
+    not touch the state or re-arm the timeout: re-arming with last_ts+gap
+    when the watermark already passed the close time would hand Spark a
+    timeout at/below the watermark (INVALID_TIMEOUT_TIMESTAMP → query
+    crash)."""
+    import pandas as pd
+
+    from elb_pipeline.streaming import _event_session_update_fn
+
+    gap_ms = 30 * 60 * 1000
+    fn = _event_session_update_fn(gap_ms)
+    last = pd.Timestamp("2024-01-01 10:05:00")
+    state = _FakeEventState(value=(2, 0, last))
+    state.timeout_ts_ms = "armed-earlier"  # sentinel: must stay untouched
+    # watermark already past last_ts + gap; batch rows are all below it
+    state.watermark_ms = last.value // 1_000_000 + gap_ms + 60_000
+    late = pd.DataFrame(
+        {"sink": ["alb"], "ts": [pd.Timestamp("2024-01-01 09:50:00")]}
+    )
+    assert list(fn(("conv-x",), iter([late]), state)) == []
+    assert state.get == (2, 0, last)  # state untouched
+    assert state.timeout_ts_ms == "armed-earlier"  # no re-arm
+
+
+def test_event_session_expired_state_plus_ontime_row_starts_new_session():
+    """Gap contract: when an on-time row arrives in the same micro-batch
+    in which the session's timeout would fire (data groups run before
+    timed-out states), the old session is emitted closed and the new turn
+    starts a FRESH session instead of being merged into the old one."""
+    import pandas as pd
+
+    from elb_pipeline.streaming import _event_session_update_fn
+
+    gap_ms = 30 * 60 * 1000
+    fn = _event_session_update_fn(gap_ms)
+    old_last = pd.Timestamp("2024-01-01 10:05:00")
+    state = _FakeEventState(value=(3, 1, old_last))
+    # watermark passed old close time (10:35); new turn is above watermark
+    state.watermark_ms = old_last.value // 1_000_000 + gap_ms + 60_000
+    new_ts = pd.Timestamp("2024-01-01 11:00:00")
+    pdf = pd.DataFrame({"sink": ["alb"], "ts": [new_ts]})
+
+    closed, opened = list(fn(("conv-y",), iter([pdf]), state))
+    assert closed.iloc[0].tolist() == ["conv-y", 3, 1, old_last, True]
+    assert opened.iloc[0].tolist() == ["conv-y", 1, 0, new_ts, False]
+    assert state.get == (1, 0, new_ts)
+    assert state.timeout_ts_ms == new_ts.value // 1_000_000 + gap_ms
+
+
+def test_event_session_timeout_clamped_above_watermark():
+    """Boundary case wm == last_ts + gap: Spark requires the timeout to be
+    strictly greater than the watermark, so the arm value is clamped."""
+    import pandas as pd
+
+    from elb_pipeline.streaming import _event_session_update_fn
+
+    gap_ms = 30 * 60 * 1000
+    fn = _event_session_update_fn(gap_ms)
+    ts = pd.Timestamp("2024-01-01 10:00:00")
+    state = _FakeEventState()
+    # the surviving row's own close time coincides with the watermark
+    state.watermark_ms = ts.value // 1_000_000 + gap_ms
+    pdf = pd.DataFrame({"sink": ["alb"], "ts": [ts]})
+    # row is late (ts <= wm) → dropped, fresh key → no session
+    assert list(fn(("conv-z",), iter([pdf]), state)) == []
+
+    # an on-time row whose last_ts+gap lands exactly ON the watermark
+    # cannot happen (ts > wm ⇒ ts+gap > wm), but an EXISTING session that
+    # absorbs a barely-on-time row keeps old last_ts when it is larger —
+    # exercise the clamp via old state at the boundary
+    old_last = pd.Timestamp("2024-01-01 10:00:00")
+    st2 = _FakeEventState(value=(1, 0, old_last))
+    st2.watermark_ms = old_last.value // 1_000_000 + gap_ms  # wm == close
+    row = pd.DataFrame(
+        {"sink": ["alb"],
+         "ts": [pd.Timestamp(st2.watermark_ms + 1, unit="ms")]}
+    )
+    out = list(fn(("conv-w",), iter([row]), st2))
+    assert len(out) == 1  # wm has NOT passed close (equal, not >): merged
+    assert st2.timeout_ts_ms > st2.watermark_ms
 
 
 def test_event_time_sessionization_closes_on_watermark(spark, tmp_path):
