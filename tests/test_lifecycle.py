@@ -58,3 +58,23 @@ def test_dup_groups_leaves_foreign_caches_alone(spark):
         ), "foreign cache no longer persisted on the context"
     finally:
         foreign.unpersist()
+
+
+def test_matcache_params_token_busts_stale_cache(spark, tmp_path, monkeypatch):
+    """Changing the algorithm params must MISS the old cache entry instead
+    of serving parquet computed by the previous version of the logic
+    (ADVICE r3): same key + different params → different directory."""
+    from elb_pipeline.matcache import materialize
+
+    monkeypatch.setenv("ELB_MAT_CACHE", str(tmp_path / "cache"))
+    v1 = spark.range(3).toDF("x")
+    got1 = materialize(v1, "k", params=("threshold", 0.5))
+    assert sorted(r["x"] for r in got1.collect()) == [0, 1, 2]
+
+    v2 = spark.range(5).toDF("x")  # "new logic" produces different rows
+    # same params → cache HIT: still the old 3 rows
+    hit = materialize(v2, "k", params=("threshold", 0.5))
+    assert hit.count() == 3
+    # changed params → MISS: the new frame is materialized
+    miss = materialize(v2, "k", params=("threshold", 0.7))
+    assert miss.count() == 5
