@@ -518,27 +518,47 @@ def main() -> None:
     width = int(os.environ.get("SPARK_GRAFT_EXEC_WIDTH", "4"))
     os.environ.setdefault("SPARK_GRAFT_DRIVER_CORES", "28-31")
     os.environ.setdefault("SPARK_GRAFT_EXEC_PIN", "1")
+
+    # Headline local[CPUS] rounds are SPREAD across the whole bench run
+    # rather than taken back-to-back: this box's host-noise windows last
+    # minutes (measured 14.4 s and 61.7 s for identical work twenty
+    # minutes apart — see BENCH/BASELINE.md "resolved by interleaved
+    # A/B"), so two adjacent runs can both land in a bad window and make
+    # the round's headline look 2-3× slower than steady state. Sampling
+    # at the start, middle, and end of the ~30-min bench guarantees the
+    # pooled best-of-N spans ≥3 distinct windows.
+    headline_runs: list[dict] = []
+
+    def headline_round() -> None:
+        headline_runs.append(_run_subprocess(input_path, CPUS, 0))
+
+    headline_round()  # window 1: bench start
     exec_pair = run_pair(
         f"executors_1x{width}_vs_4x{width}", width, 4 * width, 1, 4,
         SCALING_ROUNDS,
     )
+    headline_round()  # window 2: ~10 min in, after the executor pair
     # DIAGNOSTIC: single-JVM thread scaling local[N] vs local[4N] — NOT
     # the north-rule configuration (one shared heap + memory bus), kept
     # for continuity with rounds 1-2.
     n_low = max(CPUS // 4, 1)
     thread_pair = run_pair("threads_local8_vs_local32", n_low, CPUS, 0, 0, 2)
 
-    # headline wall/throughput = the box's best end-to-end config
-    # (single-JVM local[32]); the executor pair exists for the scaling
-    # ratio, not for peak throughput.
     exec_pair.pop("_best_high")
-    best_high = thread_pair.pop("_best_high")
     kernels = kernel_scaling(procs=(width, 4 * width))
     probe = cpu_probe(procs=(width, 4 * width))
     queries = run_query_suite(SF_DIR)
+    headline_round()  # window 3: after the query suite
     deadletter = deadletter_bench(max(n_rows // 4, 10_000))
     job_diag = run_job_diag_bench(input_path)
     efficiency = exec_pair["efficiency"]
+
+    # headline wall/throughput = the box's best end-to-end config
+    # (single-JVM local[CPUS]) pooled across the dedicated spread rounds
+    # AND the thread-pair high runs; the executor pair exists for the
+    # scaling ratio, not for peak throughput.
+    headline_pool = headline_runs + [thread_pair.pop("_best_high")]
+    best_high = max(headline_pool, key=lambda r: r["turns_per_sec"])
 
     cpu_norm = probe.get("efficiency")
     result = {
@@ -549,6 +569,9 @@ def main() -> None:
         "sf": sf,
         "rows": n_rows,
         "throughput_turns_per_sec": round(best_high["turns_per_sec"], 1),
+        # every raw local[CPUS] wall in the pool (3 spread rounds +
+        # thread-pair highs), in run order — the headline is their best
+        "headline_walls": [round(r["wall_sec"], 3) for r in headline_pool],
         "scaling": {
             "method": (
                 "PRIMARY (north rule, N vs 4N executors): local-cluster"

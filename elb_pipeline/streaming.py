@@ -70,6 +70,58 @@ def routed_json_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
     return routed_json_both(stream, with_diag=True)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``text_col`` already appeared
+    within the watermark horizon (the streaming face of the batch
+    ``dedup_exact`` / training-data ingestion dedup).
+
+    ``dropDuplicatesWithinWatermark`` keys its state store on
+    ``(md5(text), length(text))`` — the same narrow fixed-width key the
+    batch dedup shuffles on — NOT the text itself, so per-distinct-doc
+    state is ~50 bytes regardless of document size and is evicted as the
+    watermark passes: state stays bounded by the distinct-doc rate times
+    the horizon, the 100-TB/day shape. Within one micro-batch the FIRST
+    row (any one row per key) is kept, matching batch ``dropDuplicates``
+    semantics; re-occurrences farther apart than the horizon are
+    deliberately NOT deduped (that is the operator's contract — horizon
+    re-admits are the price of bounded state)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("_fp", F.md5(F.col(text_col)))
+        .withColumn("_fp_len", F.length(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["_fp", "_fp_len"])
+        .drop("_fp", "_fp_len")
+    )
+
+
+def run_dedup_stream_to_memory(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "2 hours",
+    query_name: str = "dedup_stream",
+) -> DataFrame:
+    """Drive the streaming dedup over the files currently in
+    ``input_path`` (memory sink; test/smoke harness)."""
+    deduped = dedup_stream(
+        read_transcripts_stream(spark, input_path), watermark=watermark
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_json_stream_to_memory(
     spark: SparkSession,
     input_path: str,

@@ -24,7 +24,9 @@ def spark():
     s.stop()
 
 
-SF_DIR = "/root/testdata/sf0.001"
+# Overridable so the oracle-parity suite can be re-run at the driver's
+# sf0.01 (ELB_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_entry_oracle.py).
+SF_DIR = os.environ.get("ELB_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region",
     "nation",

@@ -365,3 +365,50 @@ def test_event_time_sessionization_closes_on_watermark(spark, tmp_path):
     # conv-b: still open (last event 14:00 + gap > final watermark)
     assert max(r["n_turns"] for r in b_rows) == 2
     assert not any(r["closed"] for r in b_rows)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based exact dedup: every text admitted
+    exactly once when all re-occurrences fall inside the watermark horizon,
+    with duplicates split ACROSS micro-batches (max_files_per_trigger=2
+    over 8 files), not just within one."""
+    import collections
+
+    from elb_pipeline.streaming import dedup_stream, read_transcripts_stream
+
+    t = transcripts_from_events(spark, SF_DIR)
+    path = str(tmp_path / "dedup_in")
+    # every text written twice, spread over 8 files => >=4 micro-batches
+    t.repartition(4).write.mode("overwrite").parquet(path)
+    t.repartition(4).write.mode("append").parquet(path)
+
+    # horizon must cover the corpus's event-time span: once the watermark
+    # passes ts+delay the key's state is evicted and a re-occurrence is
+    # re-admitted (the operator's documented bounded-state contract —
+    # observed here as exactly that failure mode with a 2h horizon)
+    lo, hi = t.agg(F.min("ts"), F.max("ts")).first()
+    span_h = int((hi - lo).total_seconds() // 3600) + 2
+    deduped = dedup_stream(
+        read_transcripts_stream(spark, path, max_files_per_trigger=2),
+        watermark=f"{span_h} hours",
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = collections.Counter(
+        r["text"] for r in spark.sql("SELECT text FROM t_dedup").collect()
+    )
+    want = {r["text"] for r in t.select("text").distinct().collect()}
+    assert set(got) == want
+    dup_admitted = {s: n for s, n in got.items() if n != 1}
+    assert not dup_admitted, f"texts admitted more than once: {len(dup_admitted)}"
+    # schema passthrough: helper fingerprint columns must not leak
+    assert set(deduped.columns) == set(t.columns)
