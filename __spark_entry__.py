@@ -652,6 +652,75 @@ def q_contamination_check(spark, sf_dir):
     )
 
 
+def q_training_corpus(spark, sf_dir):
+    """Flagship curation composition: the FINAL training corpus after every
+    screen the suite implements, in one query —
+      (1) exact dedup: keep only the min doc_id per (md5(text), length);
+      (2) near-dup dedup: drop every non-representative member of a
+          MinHash-LSH dup component (representative = min id, dedup.py);
+      (3) benchmark-contamination: drop docs sharing ANY word-3-gram
+          shingle with the benchmark docs (raw doc_id < 10), and the
+          benchmark docs themselves;
+      (4) quality gate: >= 30 tokens AND 2*chars <= 11*tokens (mean token
+          length <= 5.5 — integer arithmetic, no float thresholds);
+      (5) language gate: lang = 'en' AND >= 2 distinct English stopwords.
+    Output: (doc_id, n_tokens) of surviving pool docs. Scale shape: every
+    screen is a broadcastable semi/anti join on doc_id or a pushed-down
+    predicate; candidate generation stays the LSH/banding linear path —
+    composing the screens adds NO new shuffle beyond the joins on the
+    narrow id column. No reference counterpart (curation pipeline op)."""
+    pool = D.doc_pool(_read(spark, sf_dir, "documents"))
+    key = _doc_cache_key(sf_dir)
+    sigs = D.materialized_signatures(pool, cache_key=key)
+    groups = D.dup_groups(D.verified_pairs(sigs), cache_key=key)
+
+    exact_keep = (
+        pool.groupBy(F.md5("text"), F.length("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = (
+        groups.where(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    )
+    pool_sh = pool.select(
+        "doc_id", F.explode(D._shingles()).alias("s")
+    ).distinct()
+    bench_sh = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 10)
+        .select(F.explode(D._shingles()).alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        pool_sh.join(F.broadcast(bench_sh), "s").select("doc_id").distinct()
+    )
+
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    )
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    n_sw = F.size(F.array_intersect(F.split(F.col("text"), " "), sw))
+    # planted copies carry base_id + offset; the lang tag lives on the
+    # BASE document row (a copy of a non-en base is non-en too)
+    en_ids = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("base_id"))
+    )
+    return (
+        pool.join(exact_keep, "doc_id", "semi")
+        .join(near_drop, "doc_id", "anti")
+        .join(contaminated, "doc_id", "anti")
+        .where(F.col("doc_id") >= 10)
+        .where(n_tokens >= 30)
+        .where(2 * F.length("text") <= 11 * n_tokens)
+        .where(n_sw >= 2)
+        .withColumn("base_id", F.col("doc_id") % D.EXACT_OFFSET)
+        .join(en_ids, "base_id", "semi")
+        .select("doc_id", n_tokens.cast("int").alias("n_tokens"))
+    )
+
+
 def q_media_inventory(spark, sf_dir):
     from elb_pipeline.multimodal import media_from_documents
 
@@ -878,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "stratified_sample": q_stratified_sample,
         "contamination_check": q_contamination_check,
+        "training_corpus": q_training_corpus,
         "token_count_bpe": q_token_count_bpe,
         "lang_stopword_score": q_lang_stopword_score,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1232,6 +1302,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
             "IN ('0','1','2') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled "
             "FROM documents GROUP BY lang"
+        ),
+        "training_corpus": (
+            f"WITH RECURSIVE {D.doc_pool_cte()}, {D.signatures_cte()}, "
+            f"{D.lsh_candidates_cte()}, {D.verified_pairs_cte()}, "
+            f"{D.dup_groups_cte()}, "
+            "exact_keep AS (SELECT min(doc_id) AS doc_id FROM doc_pool "
+            "GROUP BY md5(text), length(text)), "
+            "near_drop AS (SELECT doc_id FROM groups WHERE doc_id != group_id), "
+            "pool_sh AS (SELECT DISTINCT doc_id, unnest("
+            + D._SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
+            + ") AS s FROM doc_pool), "
+            "bench AS (SELECT DISTINCT s FROM (SELECT unnest("
+            + D._SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
+            + ") AS s FROM documents WHERE doc_id < 10)), "
+            "contaminated AS (SELECT DISTINCT p.doc_id FROM pool_sh p "
+            "JOIN bench b ON p.s = b.s), "
+            "tok AS (SELECT doc_id, text, "
+            "length(text) - length(replace(text, ' ', '')) + 1 AS nt "
+            "FROM doc_pool) "
+            "SELECT t.doc_id, CAST(nt AS INT) AS n_tokens FROM tok t "
+            "WHERE t.doc_id IN (SELECT doc_id FROM exact_keep) "
+            "AND t.doc_id NOT IN (SELECT doc_id FROM near_drop) "
+            "AND t.doc_id NOT IN (SELECT doc_id FROM contaminated) "
+            "AND t.doc_id >= 10 AND nt >= 30 "
+            "AND 2 * length(text) <= 11 * nt "
+            "AND length(list_intersect(string_split(text, ' '), "
+            + O._str_list(_EN_STOPWORDS)
+            + ")) >= 2 "
+            f"AND t.doc_id % {D.EXACT_OFFSET} IN "
+            "(SELECT doc_id FROM documents WHERE lang = 'en')"
         ),
         "contamination_check": (
             "WITH shingled AS (SELECT DISTINCT doc_id, unnest("

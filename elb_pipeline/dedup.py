@@ -511,14 +511,19 @@ def dup_groups(pairs: DataFrame, cache_key: str | None = None) -> DataFrame:
     return out
 
 
-def dup_groups_sql_tail() -> str:
-    """Recursive transitive closure → min reachable id per node (the
-    oracle twin of the iterative propagation)."""
+def dup_groups_cte() -> str:
+    """Recursive transitive closure → min reachable id per node, as a
+    composable ``groups(doc_id, group_id)`` CTE (the oracle twin of the
+    iterative propagation; needs WITH RECURSIVE upstream)."""
     return (
-        ", sym AS (SELECT a_id AS src, b_id AS dst FROM pairs "
+        "sym AS (SELECT a_id AS src, b_id AS dst FROM pairs "
         "UNION SELECT b_id, a_id FROM pairs), "
         "reach AS (SELECT src, dst FROM sym "
-        "UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src) "
-        "SELECT src AS doc_id, least(src, min(dst)) AS group_id "
-        "FROM reach GROUP BY src"
+        "UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src), "
+        "groups AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id "
+        "FROM reach GROUP BY src)"
     )
+
+
+def dup_groups_sql_tail() -> str:
+    return ", " + dup_groups_cte() + " SELECT doc_id, group_id FROM groups"
