@@ -721,6 +721,44 @@ def q_training_corpus(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming.dedup_stream:
+    ``dropDuplicatesWithinWatermark`` keyed on (md5(text), length)) driven
+    to completion over the materialized transcripts table, memory sink.
+    Returns the surviving rows' (fp, fp_len) WITHOUT a distinct — if the
+    stream ever admitted a duplicate key the row count would exceed the
+    oracle's batch DISTINCT and the driver check goes red, so dedup
+    itself is what is being verified. WHICH duplicate row survives per
+    key is nondeterministic (first-in-batch); the key set is not.
+    Watermark horizon is sized to the corpus's event-time span — the
+    operator's contract only dedups re-occurrences INSIDE the horizon
+    (state is evicted when the watermark passes ts+delay)."""
+    from elb_pipeline.streaming import dedup_stream, read_transcripts_stream
+    from elb_pipeline.synth import transcripts_cache_path
+
+    path = transcripts_cache_path(spark, sf_dir)
+    lo, hi = spark.read.parquet(path).agg(F.min("ts"), F.max("ts")).first()
+    span_h = int((hi - lo).total_seconds() // 3600) + 2
+    deduped = dedup_stream(
+        read_transcripts_stream(spark, path), watermark=f"{span_h} hours"
+    )
+    name = "q_streaming_dedup_sink"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.md5("text").alias("fp"),
+        F.length("text").cast("int").alias("fp_len"),
+    )
+
+
 def q_media_inventory(spark, sf_dir):
     from elb_pipeline.multimodal import media_from_documents
 
@@ -948,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "contamination_check": q_contamination_check,
         "training_corpus": q_training_corpus,
+        "streaming_dedup": q_streaming_dedup,
         "token_count_bpe": q_token_count_bpe,
         "lang_stopword_score": q_lang_stopword_score,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1302,6 +1341,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
             "IN ('0','1','2') THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled "
             "FROM documents GROUP BY lang"
+        ),
+        "streaming_dedup": pre(
+            "SELECT DISTINCT md5(text) AS fp, "
+            "CAST(length(text) AS INT) AS fp_len FROM transcripts"
         ),
         "training_corpus": (
             f"WITH RECURSIVE {D.doc_pool_cte()}, {D.signatures_cte()}, "

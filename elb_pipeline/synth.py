@@ -61,6 +61,13 @@ def transcripts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     use this so per-query timings measure the operator, not the shared
     derivation; ``transcripts_build`` still exercises the derivation
     itself."""
+    return spark.read.parquet(transcripts_cache_path(spark, sf_dir))
+
+
+def transcripts_cache_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the transcripts table for ``sf_dir`` (if not already)
+    and return its parquet path — for consumers that need the PATH, e.g.
+    ``readStream`` sources."""
     import hashlib
     import os
 
@@ -88,7 +95,7 @@ def transcripts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    return path
 
 
 def synth_transcripts(
