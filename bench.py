@@ -354,12 +354,22 @@ def cpu_probe(procs=(8, 32)) -> dict:
     return out
 
 
-def deadletter_bench(n_rows: int) -> dict:
+SUBBENCH_ROUNDS = 3  # interleaved config rounds per sub-bench (VERDICT r4 #3)
+
+
+def deadletter_bench(n_rows: int, rounds: int = SUBBENCH_ROUNDS) -> dict:
     """Dead-letter diagnosis throughput on an ALL-malformed corpus (worst
     case: every row pays diagnosis). Two rows: vectorized-only
     (nearest_dialect + fields_ok, diag_positions=False) and byte-exact
     positions (adds the per-row partial-regex bisection). VERDICT r2 asked
-    for exactly this row to bound the one remaining per-row-Python step."""
+    for exactly this row to bound the one remaining per-row-Python step.
+
+    Spread protocol (VERDICT r4 #3): the two configs ALTERNATE for
+    ``rounds`` rounds and each reports its pooled best — a single run per
+    config landed the r4 driver artifact in opposite noise windows and
+    produced a physically impossible ordering (positions FASTER than
+    no-positions). Adjacent alternating runs share noise windows; best-of-N
+    converges on steady state."""
     from pyspark.sql import functions as F
 
     from elb_pipeline.parse import routed_json_both
@@ -371,39 +381,54 @@ def deadletter_bench(n_rows: int) -> dict:
     df = synth_transcripts(spark, n_rows).withColumn(
         "text", F.translate("text", "37", "#@")
     )
-    out: dict = {"rows": n_rows}
-    for tag, positions in (("fields_ok_only", False), ("byte_positions", True)):
 
-        def build():
-            # fresh frame per action: re-collecting the SAME DataFrame
-            # reuses its already-materialized shuffle map stages, which
-            # times only the final reduce (measured: 2M rows in 46 ms)
-            routed = routed_json_both(df, with_diag=True, diag_positions=positions)
-            return routed.groupBy("sink").agg(
-                F.count("*").alias("n"), F.sum("fields_ok").alias("fk")
-            )
+    def build(positions: bool):
+        # fresh frame per action: re-collecting the SAME DataFrame
+        # reuses its already-materialized shuffle map stages, which
+        # times only the final reduce (measured: 2M rows in 46 ms)
+        routed = routed_json_both(df, with_diag=True, diag_positions=positions)
+        return routed.groupBy("sink").agg(
+            F.count("*").alias("n"), F.sum("fields_ok").alias("fk")
+        )
 
-        build().collect()  # warm-up (worker pools + heap)
-        t0 = time.monotonic()
-        res = build().collect()
-        wall = time.monotonic() - t0
-        n_mal = sum(r["n"] for r in res if r["sink"] == "malformed")
-        out[tag] = {
-            "wall_sec": round(wall, 3),
-            "rows_per_sec": round(n_rows / wall, 1),
-            "malformed_share": round(n_mal / n_rows, 4),
-        }
+    configs = (("fields_ok_only", False), ("byte_positions", True))
+    build(False).collect()  # warm-up (worker pools + heap)
+    build(True).collect()
+    walls: dict[str, list] = {tag: [] for tag, _ in configs}
+    shares: dict[str, float] = {}
+    for _ in range(rounds):
+        for tag, positions in configs:
+            t0 = time.monotonic()
+            res = build(positions).collect()
+            walls[tag].append(time.monotonic() - t0)
+            n_mal = sum(r["n"] for r in res if r["sink"] == "malformed")
+            shares[tag] = round(n_mal / n_rows, 4)
     spark.stop()
+    out: dict = {"rows": n_rows, "rounds": rounds}
+    for tag, _ in configs:
+        best = min(walls[tag])
+        out[tag] = {
+            "wall_sec": round(best, 3),
+            "walls_all": [round(w, 3) for w in walls[tag]],
+            "rows_per_sec": round(n_rows / best, 1),
+            "malformed_share": shares[tag],
+        }
     return out
 
 
-def run_job_diag_bench(input_path: str, max_rows: int = 2_000_000) -> dict:
+def run_job_diag_bench(
+    input_path: str, max_rows: int = 2_000_000, rounds: int = 2
+) -> dict:
     """VERDICT r3 #7: the byte-position diagnosis cost measured INSIDE the
     full job — realistic ~18.5% malformed mix, strict-skip mode, fan-out
     parquet write included — not just the isolated all-malformed harness.
     Identical input both ways; fresh output dirs so both runs pay the
     full write. ``max_rows`` caps the slice (deterministic sample) so the
-    two extra end-to-end runs don't dominate the bench wall."""
+    extra end-to-end runs don't dominate the bench wall.
+
+    Spread protocol (VERDICT r4 #3): on/off ALTERNATE for ``rounds``
+    rounds, pooled best per config — the r4 driver artifact's single runs
+    landed in different noise windows and inverted the ordering."""
     import shutil
     import tempfile
 
@@ -416,27 +441,30 @@ def run_job_diag_bench(input_path: str, max_rows: int = 2_000_000) -> dict:
     if total > max_rows:
         t = t.sample(max_rows / total, seed=42)
     n_rows = t.count()
-    out: dict = {"rows": n_rows}
-    # untimed warm-up: fault in worker pools + heap before either timed run
+    # untimed warm-up: fault in worker pools + heap before any timed run
     warm = tempfile.mkdtemp(prefix="elb_jobdiag_warm_")
     run_job(spark, t.sample(0.08, seed=1), warm, n_groups=1, resume=False)
     shutil.rmtree(warm, ignore_errors=True)
-    for tag, positions in (
-        ("diag_positions_on", True),
-        ("diag_positions_off", False),
-    ):
-        d = tempfile.mkdtemp(prefix=f"elb_jobdiag_{tag}_")
-        t0 = time.monotonic()
-        run_job(
-            spark, t, d, n_groups=1, resume=False, diag_positions=positions
-        )
-        wall = time.monotonic() - t0
-        out[tag] = {
-            "wall_sec": round(wall, 3),
-            "rows_per_sec": round(n_rows / wall, 1),
-        }
-        shutil.rmtree(d, ignore_errors=True)
+    configs = (("diag_positions_on", True), ("diag_positions_off", False))
+    walls: dict[str, list] = {tag: [] for tag, _ in configs}
+    for _ in range(rounds):
+        for tag, positions in configs:
+            d = tempfile.mkdtemp(prefix=f"elb_jobdiag_{tag}_")
+            t0 = time.monotonic()
+            run_job(
+                spark, t, d, n_groups=1, resume=False, diag_positions=positions
+            )
+            walls[tag].append(time.monotonic() - t0)
+            shutil.rmtree(d, ignore_errors=True)
     spark.stop()
+    out: dict = {"rows": n_rows, "rounds": rounds}
+    for tag, _ in configs:
+        best = min(walls[tag])
+        out[tag] = {
+            "wall_sec": round(best, 3),
+            "walls_all": [round(w, 3) for w in walls[tag]],
+            "rows_per_sec": round(n_rows / best, 1),
+        }
     return out
 
 
@@ -599,7 +627,47 @@ def main() -> None:
         "run_job_diag": job_diag,
         "sink_totals": best_high["sink_totals"],
     }
-    print(json.dumps(result))
+    # FULL artifact to disk; the PRINTED line is a compact essential subset
+    # engineered to survive the driver's tail-capture (BENCH_r04.json
+    # arrived truncated mid-record with "parsed": null and lost the
+    # per-query walls — VERDICT r4 #2). Per-query walls are the LAST key.
+    full_path = os.path.join(REPO, "BENCH", "bench_full_last.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        full_path = None
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "rows": n_rows,
+        "throughput_turns_per_sec": result["throughput_turns_per_sec"],
+        "headline_walls": result["headline_walls"],
+        "scaling": {
+            "method": f"local-cluster[1,{width}] vs [4,{width}], pinned, "
+            "alternating rounds, best-of-N per level (full method text in "
+            "full_artifact)",
+            "efficiency": round(efficiency, 3),
+            "efficiency_rounds": exec_pair["efficiency_rounds"],
+            "efficiency_median_round": exec_pair["efficiency_median_round"],
+            "cpu_probe_efficiency": cpu_norm,
+            "thread_mode_efficiency": thread_pair["efficiency"],
+        },
+        "deadletter_diag": {
+            k: (v["wall_sec"] if isinstance(v, dict) else v)
+            for k, v in deadletter.items()
+        },
+        "run_job_diag": {
+            k: (v["wall_sec"] if isinstance(v, dict) else v)
+            for k, v in job_diag.items()
+        },
+        "sink_totals": result["sink_totals"],
+        "full_artifact": full_path,
+        "queries": queries,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

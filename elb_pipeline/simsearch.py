@@ -186,26 +186,40 @@ def _pivots(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def with_ivf_assignment(embeddings: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest pivot (broadcast cross-join with
-    K=7 pivots, then a per-vector argmax — one narrow shuffle)."""
+def _pivot_scored(embeddings: DataFrame) -> DataFrame:
+    """Every (vector, pivot) pair scored + ranked by cosine (broadcast
+    cross-join with K=7 pivots, per-vector rank — one narrow shuffle)."""
     base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
     cross = base.crossJoin(F.broadcast(_pivots(embeddings)))
     scored = cross.withColumn("pcos", cosine(F.col("e"), F.col("pe")))
     w = Window.partitionBy("vec_id").orderBy(F.col("pcos").desc(), F.col("pid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "e", "pid")
+    return scored.withColumn("rk", F.row_number().over(w))
+
+
+def with_ivf_assignment(embeddings: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest pivot."""
+    return _pivot_scored(embeddings).where(F.col("rk") == 1).select(
+        "vec_id", "e", "pid"
     )
 
 
-def ann_ivf_topk(embeddings: DataFrame, query_id: int = 0) -> DataFrame:
-    """Top-k by cosine among vectors sharing the query's pivot bucket
-    (the IVF probe — scans ~n/K rows instead of n)."""
+def ann_ivf_topk(
+    embeddings: DataFrame, query_id: int = 0, n_probes: int = 1
+) -> DataFrame:
+    """Top-k by cosine among vectors in the query's ``n_probes`` nearest
+    pivot cells (the IVF probe — scans ~n_probes·n/K rows instead of n).
+
+    Multi-probe (n_probes ≥ 2) recovers the recall lost at cell
+    boundaries: a true neighbor assigned to the query's SECOND-nearest
+    pivot is invisible to a single-probe scan. The probe list is a
+    broadcast of ≤ n_probes rows (each candidate's pid matches at most
+    one probe row, so no fan-out), and the whole query stays lazy — no
+    driver-side Spark job runs while composing it."""
     assigned = with_ivf_assignment(embeddings)
-    q = assigned.where(F.col("vec_id") == query_id).select(
-        F.col("e").alias("qe"), F.col("pid").alias("qpid")
+    q = (
+        _pivot_scored(embeddings)
+        .where((F.col("vec_id") == query_id) & (F.col("rk") <= n_probes))
+        .select(F.col("e").alias("qe"), F.col("pid").alias("qpid"))
     )
     cand = assigned.where(F.col("vec_id") != query_id).join(
         F.broadcast(q), F.col("pid") == F.col("qpid")
@@ -219,18 +233,19 @@ def ann_ivf_topk(embeddings: DataFrame, query_id: int = 0) -> DataFrame:
     )
 
 
-def ann_ivf_sql(query_id: int = 0) -> str:
+def ann_ivf_sql(query_id: int = 0, n_probes: int = 1) -> str:
     pivots = ", ".join(str(p) for p in PIVOT_IDS)
     pcos = cosine_sql("b.e", "p.pe")
     return (
         "WITH base AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
         f"piv AS (SELECT vec_id AS pid, e AS pe FROM base WHERE vec_id IN ({pivots})), "
-        "assigned AS (SELECT vec_id, e, pid FROM ("
-        "SELECT b.vec_id, b.e, p.pid, row_number() OVER ("
+        "scored AS (SELECT b.vec_id, b.e, p.pid, row_number() OVER ("
         f"PARTITION BY b.vec_id ORDER BY {pcos} DESC, p.pid) AS rk "
-        "FROM base b CROSS JOIN piv p) WHERE rk = 1), "
-        f"q AS (SELECT e AS qe, pid AS qpid FROM assigned WHERE vec_id = {query_id}) "
+        "FROM base b CROSS JOIN piv p), "
+        "assigned AS (SELECT vec_id, e, pid FROM scored WHERE rk = 1), "
+        "q AS (SELECT e AS qe, pid AS qpid FROM scored "
+        f"WHERE vec_id = {query_id} AND rk <= {n_probes}) "
         "SELECT vec_id, "
         f"round({cosine_sql('a.e', 'q.qe')}, 4) AS cos_sim "
         "FROM assigned a, q "
