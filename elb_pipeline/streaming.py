@@ -222,13 +222,28 @@ def _epoch_ms(t) -> int:
 
 
 def _event_session_update_fn(gap_ms: int):
-    """Per-group state update for EVENT-TIME sessionization: the session
-    closes when the stream's watermark passes last_ts + gap, so late
-    (out-of-order) turns at or before the watermark still extend the
-    session, while a turn arriving after its conversation closed starts a
-    NEW session instead of silently reopening the closed one."""
+    """Per-group state update for EVENT-TIME sessionization, applying the
+    gap rule to EVENT TIME eagerly (ADVICE r4 #1): arriving rows are
+    sorted by event time and a new session starts at every >gap jump —
+    including the jump from the carried open session's last_ts to the
+    first arriving row — even when the watermark has not yet passed the
+    old session's close time. Sessions left open are additionally closed
+    by the watermark-driven timeout (a conversation that simply stops).
+
+    This makes the streaming boundaries EQUAL to the batch lag/cumsum
+    replay (q_conversation_sessions_batch) whenever each conversation's
+    rows arrive in nondecreasing event-time order ACROSS micro-batches
+    (any disorder within one micro-batch is fine — the batch is sorted;
+    cross-conversation disorder is always fine). Under cross-batch
+    disorder the two can still diverge in one direction: a late row that
+    would have BRIDGED a >gap jump in event-time order arrives after the
+    jump was already split here — the price of incremental emission, and
+    the reason the equivalence contract is stated in terms of
+    per-conversation arrival order (asserted by
+    tests/test_streaming.py::test_streaming_sessions_equal_batch_replay)."""
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         (conv_id,) = key
@@ -259,32 +274,82 @@ def _event_session_update_fn(gap_ms: int):
             # timestamp at or below the current watermark, which Spark
             # rejects (INVALID_TIMEOUT_TIMESTAMP) and kills the query.
             return
-        if state.exists and wm_ms > _epoch_ms(last_ts) + gap_ms:
-            # The session's close time already passed the watermark, but
-            # data groups are processed BEFORE timed-out states within a
-            # micro-batch, so the timeout hasn't fired yet. The surviving
-            # on-time rows belong to a NEW session: emit the old one
-            # closed and reset, honoring the gap contract.
-            yield pd.DataFrame(
-                [[conv_id, n_turns, n_mal, last_ts, True]], columns=cols
-            )
+        batch = pd.concat(surv) if len(surv) > 1 else surv[0]
+        batch = batch.sort_values("ts", kind="stable")
+        tsv = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
+        mal = (batch["sink"] == "malformed").to_numpy()
+        ts_col = batch["ts"].reset_index(drop=True)
+        # segment id per row: a new session at every >gap event-time jump,
+        # measured against the previous row (or the carried session's
+        # last_ts for the first row). This also subsumes the r4 branch for
+        # "watermark already passed the old close but the timeout hasn't
+        # fired": survivors have ts > wm > last_ts+gap, so the first jump
+        # splits them off the old session anyway.
+        prev0 = _epoch_ms(last_ts) if state.exists else tsv[0]
+        prevs = np.concatenate([[prev0], tsv[:-1]])
+        seg = np.cumsum(tsv - prevs > gap_ms)
+        out_rows = []
+        if state.exists and seg[0] > 0:
+            # carried session gets no new rows — close it as it stands
+            out_rows.append([conv_id, n_turns, n_mal, last_ts, True])
             n_turns, n_mal, last_ts = 0, 0, None
-        for pdf in surv:
-            n_turns += len(pdf)
-            n_mal += int((pdf["sink"] == "malformed").sum())
-            mx = pdf["ts"].max()
-            last_ts = mx if last_ts is None else max(last_ts, mx)
+        first_seg, last_seg = int(seg[0]), int(seg[-1])
+        for k in range(first_seg, last_seg + 1):
+            m = seg == k
+            cnt_k = int(m.sum()) + (n_turns if k == first_seg else 0)
+            mal_k = int(mal[m].sum()) + (n_mal if k == first_seg else 0)
+            max_k = ts_col[m].max()
+            if k == first_seg and last_ts is not None:
+                max_k = max(max_k, last_ts)
+            if k < last_seg:
+                out_rows.append([conv_id, cnt_k, mal_k, max_k, True])
+            else:
+                n_turns, n_mal, last_ts = cnt_k, mal_k, max_k
         state.update((n_turns, n_mal, last_ts))
         # close when the WATERMARK (event time), not the wall clock,
         # passes last activity + gap; clamp above the current watermark
         # for the boundary case wm == last_ts + gap (Spark requires a
         # timeout strictly greater than the watermark)
         state.setTimeoutTimestamp(max(_epoch_ms(last_ts) + gap_ms, wm_ms + 1))
-        yield pd.DataFrame(
-            [[conv_id, n_turns, n_mal, last_ts, False]], columns=cols
-        )
+        out_rows.append([conv_id, n_turns, n_mal, last_ts, False])
+        yield pd.DataFrame(out_rows, columns=cols)
 
     return update
+
+
+def batch_session_replay(t: DataFrame, gap_seconds: int) -> DataFrame:
+    """BATCH replay of the event-time gap rule: lag/cumsum windows split a
+    conversation at every >gap event-time jump — the same boundaries the
+    eager streaming sessionizer (:func:`conversation_sessions_event_time`)
+    emits when per-conversation arrival order holds. Shared by the oracled
+    driver query (__spark_entry__.q_conversation_sessions_batch) and the
+    streaming↔batch cross-validation test, so the two implementations
+    cannot drift apart silently.
+
+    Epoch-microsecond comparisons keep engines bit-identical (ts is
+    TIMESTAMP_NTZ; the session timezone is pinned UTC, so the NTZ→TZ cast
+    is exactly DuckDB's naive-as-UTC epoch_us convention). Distributed
+    shape: both windows partition by conv_id — ONE shuffle, no global
+    ordering anywhere (plan-asserted in tests/test_plans.py)."""
+    from pyspark.sql import Window
+
+    order = ["ts", "turn_idx"] if "turn_idx" in t.columns else ["ts"]
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_sess = ((us - F.lag(us).over(w)) > gap_seconds * 1_000_000).cast("int")
+    run = (
+        Window.partitionBy("conv_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = t.withColumn(
+        "session_idx", F.sum(F.coalesce(new_sess, F.lit(0))).over(run)
+    )
+    return sess.groupBy("conv_id", "session_idx").agg(
+        F.count("*").alias("n_turns"),
+        F.min(us).alias("session_start_us"),
+        F.max(us).alias("session_end_us"),
+    )
 
 
 def conversation_sessions_event_time(

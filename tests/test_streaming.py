@@ -266,11 +266,50 @@ def test_event_session_expired_state_plus_ontime_row_starts_new_session():
     new_ts = pd.Timestamp("2024-01-01 11:00:00")
     pdf = pd.DataFrame({"sink": ["alb"], "ts": [new_ts]})
 
-    closed, opened = list(fn(("conv-y",), iter([pdf]), state))
-    assert closed.iloc[0].tolist() == ["conv-y", 3, 1, old_last, True]
-    assert opened.iloc[0].tolist() == ["conv-y", 1, 0, new_ts, False]
+    (out,) = list(fn(("conv-y",), iter([pdf]), state))
+    assert out.iloc[0].tolist() == ["conv-y", 3, 1, old_last, True]
+    assert out.iloc[1].tolist() == ["conv-y", 1, 0, new_ts, False]
     assert state.get == (1, 0, new_ts)
     assert state.timeout_ts_ms == new_ts.value // 1_000_000 + gap_ms
+
+
+def test_event_session_same_batch_gap_split():
+    """ADVICE r4 #1: rows in ONE micro-batch separated by more than the
+    gap must split into distinct sessions by EVENT time — even though the
+    watermark has not remotely passed the first session's close time —
+    matching the batch lag/cumsum replay's boundaries."""
+    import pandas as pd
+
+    from elb_pipeline.streaming import _event_session_update_fn
+
+    gap_ms = 30 * 60 * 1000
+    fn = _event_session_update_fn(gap_ms)
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    t1 = pd.Timestamp("2024-01-01 10:10:00")
+    t2 = pd.Timestamp("2024-01-01 11:00:00")  # 50 min after t1 → new session
+    t3 = pd.Timestamp("2024-01-01 12:00:00")  # 60 min after t2 → new session
+    pdf = pd.DataFrame(
+        {"sink": ["alb", "malformed", "alb", "alb"], "ts": [t2, t0, t3, t1]}
+    )
+    state = _FakeEventState()
+    (out,) = list(fn(("conv-g",), iter([pdf]), state))
+    assert out.values.tolist() == [
+        ["conv-g", 2, 1, t1, True],   # [10:00, 10:10] closed on the jump
+        ["conv-g", 1, 0, t2, True],   # [11:00] closed on the next jump
+        ["conv-g", 1, 0, t3, False],  # [12:00] stays open
+    ]
+    assert state.get == (1, 0, t3)
+    assert state.timeout_ts_ms == t3.value // 1_000_000 + gap_ms
+
+    # carried open state + first new row > gap later: the carried session
+    # closes as it stands, the new rows start fresh
+    st2 = _FakeEventState(value=(2, 0, t1))
+    pdf2 = pd.DataFrame({"sink": ["alb"], "ts": [t2]})
+    (out2,) = list(fn(("conv-h",), iter([pdf2]), st2))
+    assert out2.values.tolist() == [
+        ["conv-h", 2, 0, t1, True],
+        ["conv-h", 1, 0, t2, False],
+    ]
 
 
 def test_event_session_timeout_clamped_above_watermark():
@@ -362,9 +401,106 @@ def test_event_time_sessionization_closes_on_watermark(spark, tmp_path):
     assert any(r["closed"] for r in a_rows)
     closed_a = [r for r in a_rows if r["closed"]][0]
     assert closed_a["n_turns"] == 2
-    # conv-b: still open (last event 14:00 + gap > final watermark)
-    assert max(r["n_turns"] for r in b_rows) == 2
-    assert not any(r["closed"] for r in b_rows)
+    # conv-b: the 14:00 turn is >gap after 10:01 in EVENT time, so the
+    # first session closes on the jump (the eager gap split — before r5
+    # the lagging watermark let them merge into one 2-turn session, the
+    # batch/streaming divergence ADVICE r4 #1 flagged) and the 14:00
+    # session stays open (14:00 + gap > final watermark)
+    closed_b = [r for r in b_rows if r["closed"]]
+    assert [r["n_turns"] for r in closed_b] == [1]
+    open_b = [r for r in b_rows if not r["closed"]]
+    assert max(r["n_turns"] for r in open_b) == 1
+
+
+def test_streaming_sessions_equal_batch_replay(spark, tmp_path):
+    """VERDICT r4 #5: both sessionization faces — the stateful streaming
+    operator (conversation_sessions_event_time) and the batch lag/cumsum
+    replay (batch_session_replay, also the oracled driver query) — must
+    produce IDENTICAL closed-session boundaries on the same out-of-order
+    fixture, modulo the open tail. The fixture exercises in-batch
+    disorder (sorted inside the update fn), same-batch gap splits, carried
+    state splits across micro-batches, and timeout-driven closes; a
+    far-future sentinel conversation pushes the final watermark past every
+    real session's close time so the streaming side closes everything."""
+    import datetime as dt
+    import os
+
+    from elb_pipeline.streaming import (
+        batch_session_replay,
+        conversation_sessions_event_time,
+    )
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    # per-conversation arrival order is nondecreasing ACROSS files (the
+    # stated equivalence contract); inside a file rows are shuffled
+    files = [
+        [("conv-a", "alb", t(10, 5)), ("conv-a", "malformed", t(10, 0)),
+         ("conv-b", "alb", t(10, 1)), ("conv-c", "alb", t(9, 5)),
+         ("conv-c", "alb", t(9, 0))],
+        [("conv-a", "alb", t(10, 20)), ("conv-b", "alb", t(10, 45)),
+         ("conv-c", "alb", t(10, 2)), ("conv-c", "alb", t(10, 0))],
+        [("conv-a", "alb", t(11, 40)), ("conv-a", "alb", t(11, 30)),
+         ("conv-b", "alb", t(10, 50)), ("conv-c", "alb", t(12, 0))],
+        [("conv-z", "alb", t(23, 0))],  # sentinel: wm → 22:50, closes all
+    ]
+    path = str(tmp_path / "xval_in")
+    schema = "conv_id string, sink string, ts timestamp"
+    for i, rows in enumerate(files):
+        sub = f"{path}/b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        for part in os.listdir(sub):
+            os.utime(f"{sub}/{part}", (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/b*")
+    )
+    sessions = conversation_sessions_event_time(
+        stream, gap="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("xval_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not drain in 180s"
+    finally:
+        q.stop()
+    closed = {
+        (r["conv_id"], r["n_turns"],
+         int(r["last_ts"].replace(tzinfo=dt.timezone.utc).timestamp())
+         * 1_000_000)
+        for r in spark.sql("SELECT * FROM xval_sessions").collect()
+        if r["closed"] and r["conv_id"] != "conv-z"
+    }
+
+    batch_df = spark.createDataFrame(
+        [r for rows in files for r in rows], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    replay = {
+        (r["conv_id"], r["n_turns"], r["session_end_us"])
+        for r in batch_session_replay(batch_df, 30 * 60).collect()
+        if r["conv_id"] != "conv-z"
+    }
+
+    expected = {
+        ("conv-a", 3, t(10, 20).replace(tzinfo=dt.timezone.utc).timestamp()),
+        ("conv-a", 2, t(11, 40).replace(tzinfo=dt.timezone.utc).timestamp()),
+        ("conv-b", 1, t(10, 1).replace(tzinfo=dt.timezone.utc).timestamp()),
+        ("conv-b", 2, t(10, 50).replace(tzinfo=dt.timezone.utc).timestamp()),
+        ("conv-c", 2, t(9, 5).replace(tzinfo=dt.timezone.utc).timestamp()),
+        ("conv-c", 2, t(10, 2).replace(tzinfo=dt.timezone.utc).timestamp()),
+        ("conv-c", 1, t(12, 0).replace(tzinfo=dt.timezone.utc).timestamp()),
+    }
+    expected = {(c, n, int(s) * 1_000_000) for c, n, s in expected}
+    assert replay == expected
+    assert closed == replay  # the two faces agree, boundary for boundary
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
