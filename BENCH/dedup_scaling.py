@@ -42,16 +42,27 @@ REPLICA_STRIDE = 1_000_000  # > max pooled doc_id (~205k): replica ids disjoint
 
 
 def scaled_pool(docs, k_replicas: int):
-    """K disjoint-shingle replicas of the planted dedup pool."""
+    """K disjoint-shingle replicas of the planted dedup pool.
+
+    Markers are FIXED-WIDTH and SHORT (zq00..zq99, 4 chars) so every
+    replica's text has identical length arithmetic — the training_corpus
+    series' quality gate (2*chars <= 11*tokens) is char-count-dependent:
+    a variable-width marker would flip threshold-straddling docs
+    differently per replica (breaking the exact-Kx survivor criterion),
+    and the r4 6-char ``zrep<k>`` marker pushed the marked mean token
+    length past the 5.5 gate, annihilating the pool (56 of 60.5k docs
+    survived the screen — measured, round 5). ``zq`` is this repo's
+    out-of-vocab token convention (dedup.NEAR_TAIL)."""
     from pyspark.sql import functions as F
 
     from elb_pipeline.dedup import doc_pool
 
+    assert k_replicas <= 100, "widen the marker (zq%02d) past 100 replicas"
     base = doc_pool(docs)
     reps = []
     for k in range(k_replicas):
         # marker after every 2nd word => every 3-gram contains it
-        marked = F.regexp_replace(F.col("text"), r"(\S+ \S+) ", f"$1 zrep{k} ")
+        marked = F.regexp_replace(F.col("text"), r"(\S+ \S+) ", f"$1 zq{k:02d} ")
         reps.append(
             base.select(
                 (F.col("doc_id") + k * REPLICA_STRIDE).alias("doc_id"),
@@ -115,8 +126,87 @@ def run_level(spark, k_replicas: int, tag: str = "") -> dict:
     }
 
 
+def run_corpus_level(spark, k_replicas: int, tag: str = "") -> dict:
+    """Full five-screen training_corpus composition on the K-replica pool
+    (VERDICT r4 #7): the SAME curation.training_corpus builder the oracled
+    driver query runs, with the id-dependent screens unwrapped through
+    raw_id = doc_id % REPLICA_STRIDE and the benchmark side built from the
+    replicas' own marked text (shingle-disjoint, so contamination stays
+    per-replica and the ideal workload is exactly K x the base)."""
+    from pyspark.sql import functions as F
+
+    from elb_pipeline import curation as C
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pool = scaled_pool(docs, k_replicas)
+    n_docs = pool.count()
+    raw_id = F.col("doc_id") % REPLICA_STRIDE
+
+    from elb_pipeline.dedup import _shingles, doc_pool
+
+    # Contamination side: the in-text replica markers coarsen word-3-gram
+    # matching to (2 real words + marker) — matching MARKED shingles
+    # contaminates ~everything (5820 of 5840 docs at sf0.1, measured).
+    # The screen therefore runs on DEMARKED, replica-PREFIXED shingles:
+    # built from the UNMARKED base pool (exact 3-original-word semantics,
+    # no regex demarking) and prefixed "k:" so the shingle universe grows
+    # K x and contamination stays per-replica — the ideal K x workload.
+    base_sh = doc_pool(docs).select(
+        "doc_id", F.explode(_shingles()).alias("s")
+    )
+    pool_sh_reps, bench_sh_reps = [], []
+    for k in range(k_replicas):
+        pref = F.concat_ws(":", F.lit(str(k)), F.col("s")).alias("s")
+        pool_sh_reps.append(
+            base_sh.select(
+                (F.col("doc_id") + k * REPLICA_STRIDE).alias("doc_id"), pref
+            )
+        )
+        bench_sh_reps.append(
+            base_sh.where(F.col("doc_id") < C.N_BENCH_DOCS).select(pref)
+        )
+    pool_sh = pool_sh_reps[0]
+    for r in pool_sh_reps[1:]:
+        pool_sh = pool_sh.unionByName(r)
+    bench_sh = bench_sh_reps[0]
+    for r in bench_sh_reps[1:]:
+        bench_sh = bench_sh.unionByName(r)
+
+    t0 = time.monotonic()
+    corpus = C.training_corpus(
+        pool,
+        bench_sh.distinct(),
+        C.en_base_ids(docs),
+        cache_key=f"corpus_k{k_replicas}{tag}",
+        raw_id=raw_id,
+        pool_shingles=pool_sh,
+    )
+    per_rep = (
+        corpus.groupBy(
+            (F.col("doc_id") / REPLICA_STRIDE).cast("long").alias("rep")
+        )
+        .count()
+        .collect()
+    )
+    wall = time.monotonic() - t0
+    rep_counts = sorted(r["count"] for r in per_rep)
+    return {
+        "k": k_replicas,
+        "docs": n_docs,
+        "survivors": sum(rep_counts),
+        "survivors_per_replica_min_max": [rep_counts[0], rep_counts[-1]],
+        "n_replicas_seen": len(rep_counts),
+        "wall_total": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 10, 40]
+    argv = sys.argv[1:]
+    series = "pairs"
+    if argv and argv[0] in ("pairs", "corpus"):
+        series, argv = argv[0], argv[1:]
+    ks = [int(a) for a in argv] or [1, 10, 40]
 
     from elb_pipeline.session import get_spark, perf_conf
 
@@ -129,14 +219,15 @@ def main() -> None:
         extra_conf=perf_conf(),
     )
     repeats = int(os.environ.get("ELB_DEDUP_SCALING_REPEATS", "2"))
+    runner = run_level if series == "pairs" else run_corpus_level
     try:
-        run_level(spark, 1)  # untimed warm-up: JVM JIT + Python worker pool
+        runner(spark, 1, tag="_warm")  # untimed: JVM JIT + worker pool
         # best-of-N per level: host-noise windows on this box only ever
         # SLOW a run (see BENCH/BASELINE.md), so per-level best is the
         # least-biased steady-state estimate; all walls are reported.
         levels = []
         for k in ks:
-            reps = [run_level(spark, k, tag=f"_r{i}") for i in range(repeats)]
+            reps = [runner(spark, k, tag=f"_r{i}") for i in range(repeats)]
             best = min(reps, key=lambda r: r["wall_total"])
             best["wall_total_all_runs"] = [r["wall_total"] for r in reps]
             levels.append(best)
@@ -145,22 +236,40 @@ def main() -> None:
         shutil.rmtree(os.environ["ELB_MAT_CACHE"], ignore_errors=True)
 
     base = levels[0]
-    structural_ok = all(
-        lv["cross_replica_pairs"] == 0
-        and lv["docs"] == lv["k"] * base["docs"] // base["k"]
-        # per-replica pair counts are i.i.d. draws of LSH recall; a wide
-        # spread would mean bucket skew or leakage, not sampling noise
-        and lv["pairs_per_replica_min_max"][0]
-        >= 0.8 * lv["pairs_per_replica_min_max"][1]
-        for lv in levels
-    )
+    if series == "pairs":
+        structural_ok = all(
+            lv["cross_replica_pairs"] == 0
+            and lv["docs"] == lv["k"] * base["docs"] // base["k"]
+            # per-replica pair counts are i.i.d. draws of LSH recall; a
+            # wide spread would mean bucket skew or leakage, not noise
+            and lv["pairs_per_replica_min_max"][0]
+            >= 0.8 * lv["pairs_per_replica_min_max"][1]
+            for lv in levels
+        )
+        metric = "minhash-lsh dedup suite scaling (docs/sec vs corpus size)"
+    else:
+        # survivors must grow exactly K x up to LSH candidate-recall noise
+        # on borderline (J~0.5) organic pairs: every replica's survivor
+        # count within a tight band, and all K replicas present
+        structural_ok = all(
+            lv["n_replicas_seen"] == lv["k"]
+            and lv["docs"] == lv["k"] * base["docs"] // base["k"]
+            and lv["survivors_per_replica_min_max"][0]
+            >= 0.98 * lv["survivors_per_replica_min_max"][1]
+            for lv in levels
+        )
+        metric = (
+            "training_corpus five-screen composition scaling "
+            "(docs/sec vs corpus size)"
+        )
     # linearity: docs/sec at the largest K vs the base level (base has
     # fixed Spark-job overhead amortized worst, so >=1.0 is the floor)
     lin = levels[-1]["docs_per_sec"] / base["docs_per_sec"]
     print(
         json.dumps(
             {
-                "metric": "minhash-lsh dedup suite scaling (docs/sec vs corpus size)",
+                "metric": metric,
+                "series": series,
                 "sf_dir": SF_DIR,
                 "cpus": CPUS,
                 "levels": levels,

@@ -405,7 +405,9 @@ def q_minhash_lsh_groups(spark, sf_dir):
 # BPE-ish token classes: letter runs, digit runs, single punctuation
 _BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
-_EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+# single source of truth shared with the curation composition (its oracle
+# twins below embed the same list via O._str_list)
+from elb_pipeline.curation import EN_STOPWORDS as _EN_STOPWORDS
 
 
 def q_token_count_bpe(spark, sf_dir):
@@ -668,56 +670,20 @@ def q_training_corpus(spark, sf_dir):
     screen is a broadcastable semi/anti join on doc_id or a pushed-down
     predicate; candidate generation stays the LSH/banding linear path —
     composing the screens adds NO new shuffle beyond the joins on the
-    narrow id column. No reference counterpart (curation pipeline op)."""
-    pool = D.doc_pool(_read(spark, sf_dir, "documents"))
-    key = _doc_cache_key(sf_dir)
-    sigs = D.materialized_signatures(pool, cache_key=key)
-    groups = D.dup_groups(D.verified_pairs(sigs), cache_key=key)
+    narrow id column. No reference counterpart (curation pipeline op).
 
-    exact_keep = (
-        pool.groupBy(F.md5("text"), F.length("text"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    near_drop = (
-        groups.where(F.col("doc_id") != F.col("group_id")).select("doc_id")
-    )
-    pool_sh = pool.select(
-        "doc_id", F.explode(D._shingles()).alias("s")
-    ).distinct()
-    bench_sh = (
-        _read(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 10)
-        .select(F.explode(D._shingles()).alias("s"))
-        .distinct()
-    )
-    contaminated = (
-        pool_sh.join(F.broadcast(bench_sh), "s").select("doc_id").distinct()
-    )
+    The composition itself lives in elb_pipeline.curation.training_corpus
+    — the SAME builder the corpus-growth bench (BENCH/dedup_scaling.py
+    training_corpus series, VERDICT r4 #7) runs on replica-strided pools,
+    so the oracled query and the scaling evidence cannot drift apart."""
+    from elb_pipeline import curation as C
 
-    n_tokens = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
-    )
-    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
-    n_sw = F.size(F.array_intersect(F.split(F.col("text"), " "), sw))
-    # planted copies carry base_id + offset; the lang tag lives on the
-    # BASE document row (a copy of a non-en base is non-en too)
-    en_ids = (
-        _read(spark, sf_dir, "documents")
-        .where(F.col("lang") == "en")
-        .select(F.col("doc_id").alias("base_id"))
-    )
-    return (
-        pool.join(exact_keep, "doc_id", "semi")
-        .join(near_drop, "doc_id", "anti")
-        .join(contaminated, "doc_id", "anti")
-        .where(F.col("doc_id") >= 10)
-        .where(n_tokens >= 30)
-        .where(2 * F.length("text") <= 11 * n_tokens)
-        .where(n_sw >= 2)
-        .withColumn("base_id", F.col("doc_id") % D.EXACT_OFFSET)
-        .join(en_ids, "base_id", "semi")
-        .select("doc_id", n_tokens.cast("int").alias("n_tokens"))
+    docs = _read(spark, sf_dir, "documents")
+    return C.training_corpus(
+        D.doc_pool(docs),
+        C.bench_shingles(docs),
+        C.en_base_ids(docs),
+        cache_key=_doc_cache_key(sf_dir),
     )
 
 
@@ -886,28 +852,36 @@ def q_conversation_sessions_batch(spark, sf_dir):
     (streaming.conversation_sessions_event_time — a new session starts
     when a turn arrives more than GAP after the session's last event),
     expressed as lag/cumsum windows so DuckDB can recompute the exact
-    session boundaries. Epoch-microsecond comparisons keep the two
-    engines bit-identical. Distributed shape: both windows partition by
-    conv_id — one shuffle, no global ordering anywhere."""
+    session boundaries. Delegates to streaming.batch_session_replay — the
+    SAME builder the streaming↔batch cross-validation test
+    (tests/test_streaming.py::test_streaming_sessions_equal_batch_replay)
+    compares against the stateful operator, so the oracled query and the
+    streaming implementation cannot drift apart silently (VERDICT r4 #5).
+    Distributed shape: both windows partition by conv_id — one shuffle,
+    no global ordering anywhere."""
+    from elb_pipeline.streaming import batch_session_replay
+
     t = transcripts_cached(spark, sf_dir)
-    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
-    # ts is TIMESTAMP_NTZ; the session timezone is pinned to UTC, so the
-    # NTZ→TZ cast is exactly DuckDB's naive-as-UTC epoch_us convention
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    new_sess = (
-        (us - F.lag(us).over(w)) > SESSION_GAP_SECONDS * 1_000_000
-    ).cast("int")
-    run = Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sess = t.withColumn(
-        "session_idx", F.sum(F.coalesce(new_sess, F.lit(0))).over(run)
-    )
-    return sess.groupBy("conv_id", "session_idx").agg(
-        F.count("*").alias("n_turns"),
-        F.min(us).alias("session_start_us"),
-        F.max(us).alias("session_end_us"),
-    )
+    return batch_session_replay(t, SESSION_GAP_SECONDS)
+
+
+def q_conversation_assembly(spark, sf_dir):
+    """Per-conversation training-document assembly — the step before
+    tokenization: each conversation's turns concatenated in turn order
+    into ONE document, reported as (n_turns, n_chars, md5) so the compare
+    stays narrow. Runs the CHUNKED two-stage form
+    (aggregate.assemble_conversations_chunked — stage 1 pre-assembles
+    turn_idx-range chunks so a hot conversation's sort/build work spreads
+    over many tasks; the skew evidence is BENCH/skew_bench.py, VERDICT r4
+    #8) while DuckDB recomputes the DIRECT single-stage string_agg — the
+    oracle therefore proves the salted merge equals the direct
+    aggregation cross-engine. No reference counterpart (the reference
+    emits one output line per input line, main.rs:103-177; assembly is a
+    training-pipeline op)."""
+    from elb_pipeline.aggregate import assemble_conversations_chunked
+
+    t = transcripts_cached(spark, sf_dir)
+    return assemble_conversations_chunked(t.select("conv_id", "turn_idx", "text"))
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1004,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndjson_ordered_lines": q_ndjson_ordered_lines,
         "ndjson_sharded_lines": q_ndjson_sharded_lines,
         "conversation_sessions_batch": q_conversation_sessions_batch,
+        "conversation_assembly": q_conversation_assembly,
         "file_corpus_route_counts": q_file_corpus_route_counts,
         "tpch_q1": q_tpch_q1,
         "top_events_per_user": q_top_events_per_user,
@@ -1219,6 +1194,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, session_idx, count(*) AS n_turns, "
             "min(us) AS session_start_us, max(us) AS session_end_us "
             "FROM sessed GROUP BY conv_id, session_idx"
+        ),
+        "conversation_assembly": pre(
+            ", asm AS (SELECT conv_id, count(*) AS nt, "
+            "string_agg(text, chr(10) ORDER BY turn_idx) AS doc "
+            "FROM transcripts GROUP BY conv_id) "
+            "SELECT conv_id, CAST(nt AS INT) AS n_turns, "
+            "CAST(length(doc) AS INT) AS n_chars, md5(doc) AS doc_md5 "
+            "FROM asm"
         ),
         "file_corpus_route_counts": _file_corpus_oracle_sql(),
         "tpch_q1": (
