@@ -136,6 +136,9 @@ def task_histogram(app_id: str, tag: str) -> dict:
         q = [round(x, 1) for x in s["duration"]]
         if worst is None or q[3] > worst["task_ms_max"]:
             n = _get(f"{base}/stages/{sid}/0?details=false")
+            sr = s.get("shuffleReadMetrics", {})
+            rb = sr.get("readBytes") or [0.0] * 4
+            rr = sr.get("readRecords") or [0.0] * 4
             worst = {
                 "stage_id": sid,
                 "n_tasks": n.get("numCompleteTasks"),
@@ -143,6 +146,13 @@ def task_histogram(app_id: str, tag: str) -> dict:
                 "task_ms_p50": q[1],
                 "task_ms_p95": q[2],
                 "task_ms_max": q[3],
+                # the cluster-relevant skew face: how many bytes/rows the
+                # HOT reducer pulls vs the median one (on local[] the
+                # fetch is memory-speed; on a real cluster it's network)
+                "shuffle_read_mb_p50": round(rb[1] / 1e6, 1),
+                "shuffle_read_mb_max": round(rb[3] / 1e6, 1),
+                "shuffle_read_rows_p50": int(rr[1]),
+                "shuffle_read_rows_max": int(rr[3]),
             }
     return worst or {}
 
