@@ -206,10 +206,61 @@ def run_corpus_level(spark, k_replicas: int, tag: str = "") -> dict:
     }
 
 
+def run_rare_level(spark, k_replicas: int, tag: str = "", series: str = "rare") -> dict:
+    """Exact-Jaccard paths (dedup.rare_shingle_pairs / prefix_jaccard_pairs)
+    on the K-replica pool. Unlike the LSH series there is NO probabilistic
+    recall: replicas are textually identical up to their fixed-width marker,
+    so per-replica pair counts must be EXACTLY equal — a stronger structural
+    criterion. The marked pool needs no demarking: every replica's shingles
+    contain its own marker, so shingle doc-frequencies (hence both the
+    df-capped blocking and the prefix-filter global order, up to
+    within-replica tie-breaks that are themselves replica-symmetric) are
+    computed per-replica by construction."""
+    from pyspark.sql import functions as F
+
+    from elb_pipeline.dedup import prefix_jaccard_pairs, rare_shingle_pairs
+
+    pair_fn = rare_shingle_pairs if series == "rare" else prefix_jaccard_pairs
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # materialized pool, same rationale as run_corpus_level: the rare path
+    # reads the pool twice (inverted index + verify sets)
+    pool_path = os.path.join(
+        os.environ["ELB_MAT_CACHE"], f"rare_pool_k{k_replicas}{tag}.parquet"
+    )
+    scaled_pool(docs, k_replicas).write.mode("overwrite").parquet(pool_path)
+    pool = spark.read.parquet(pool_path)
+    n_docs = pool.count()
+
+    t0 = time.monotonic()
+    pairs = pair_fn(pool)
+    rep = (F.col("a_id") / REPLICA_STRIDE).cast("long")
+    per_rep = (
+        pairs.groupBy(
+            rep.alias("rep"),
+            ((F.col("b_id") / REPLICA_STRIDE).cast("long") != rep).alias("cross"),
+        )
+        .count()
+        .collect()
+    )
+    wall = time.monotonic() - t0
+    n_cross = sum(r["count"] for r in per_rep if r["cross"])
+    rep_counts = sorted(r["count"] for r in per_rep if not r["cross"])
+    return {
+        "k": k_replicas,
+        "docs": n_docs,
+        "pairs": sum(r["count"] for r in per_rep),
+        "cross_replica_pairs": n_cross,
+        "pairs_per_replica_min_max": [rep_counts[0], rep_counts[-1]],
+        "n_replicas_seen": len(rep_counts),
+        "wall_total": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
 def main() -> None:
     argv = sys.argv[1:]
     series = "pairs"
-    if argv and argv[0] in ("pairs", "corpus"):
+    if argv and argv[0] in ("pairs", "corpus", "rare", "prefix"):
         series, argv = argv[0], argv[1:]
     ks = [int(a) for a in argv] or [1, 10, 40]
 
@@ -224,7 +275,14 @@ def main() -> None:
         extra_conf=perf_conf(),
     )
     repeats = int(os.environ.get("ELB_DEDUP_SCALING_REPEATS", "2"))
-    runner = run_level if series == "pairs" else run_corpus_level
+    import functools
+
+    runner = {
+        "pairs": run_level,
+        "corpus": run_corpus_level,
+        "rare": run_rare_level,
+        "prefix": functools.partial(run_rare_level, series="prefix"),
+    }[series]
     try:
         runner(spark, 1, tag="_warm")  # untimed: JVM JIT + worker pool
         # best-of-N per level: host-noise windows on this box only ever
@@ -252,6 +310,23 @@ def main() -> None:
             for lv in levels
         )
         metric = "minhash-lsh dedup suite scaling (docs/sec vs corpus size)"
+    elif series in ("rare", "prefix"):
+        # both exact paths are deterministic: replicas are textually
+        # identical up to the fixed-width marker, so per-replica counts are
+        # EXACTLY equal and any cross-replica pair is a blocking bug (for
+        # "prefix" this holds for ANY global order — the output is the true
+        # pair set by the AllPairs theorem, independent of tie-breaks)
+        structural_ok = all(
+            lv["cross_replica_pairs"] == 0
+            and lv["docs"] == lv["k"] * base["docs"] // base["k"]
+            and lv["pairs_per_replica_min_max"][0]
+            == lv["pairs_per_replica_min_max"][1]
+            and lv["n_replicas_seen"] == lv["k"]
+            for lv in levels
+        )
+        metric = (
+            f"{series} exact-jaccard dedup scaling (docs/sec vs corpus size)"
+        )
     else:
         # survivors must grow exactly K x up to LSH candidate-recall noise
         # on borderline (J~0.5) organic pairs: every replica's survivor

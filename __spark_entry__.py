@@ -402,6 +402,34 @@ def q_minhash_lsh_groups(spark, sf_dir):
     return dup_groups(verified_pairs(sigs), cache_key=key)
 
 
+def q_jaccard_rare_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via a rare-shingle inverted
+    index (df in [2, RARE_DF_MAX]) — the deterministic, sketch-free dedup
+    path beside MinHash-LSH. The df cap bounds every blocking bucket's
+    self-join fanout to df² ≤ 16 rows, so common shingles cannot create
+    skewed or quadratic buckets; verification touches candidates only.
+    At sf0.01 it verifies the IDENTICAL 121-pair set the LSH path finds;
+    the known recall gap (dup cliques wider than the cap have no blocking
+    key — measured at sf0.001) is documented at dedup.rare_shingle_pairs,
+    and the exact-recall prefix-filter variant is jaccard_prefix_pairs."""
+    from elb_pipeline.dedup import doc_pool, rare_shingle_pairs
+
+    return rare_shingle_pairs(doc_pool(_read(spark, sf_dir, "documents")))
+
+
+def q_jaccard_prefix_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via the AllPairs prefix filter
+    (Bayardo et al. WWW'07) — recall-COMPLETE by theorem, unlike both the
+    probabilistic LSH path and the df-capped rare-shingle path (whose
+    clique blind spot this closes; tests/test_dedup_parity.py proves
+    equality to a brute-force all-pairs oracle at sf0.001). Blocking keys
+    are each doc's n - ceil(t*n) + 1 globally-rarest shingles; the length
+    filter is pushed into the candidate join (dedup.prefix_jaccard_pairs)."""
+    from elb_pipeline.dedup import doc_pool, prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(doc_pool(_read(spark, sf_dir, "documents")))
+
+
 # BPE-ish token classes: letter runs, digit runs, single punctuation
 _BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
@@ -475,6 +503,54 @@ def q_ngram_profile(spark, sf_dir):
         "doc_id",
         F.size(g).alias("n_shingles"),
         F.size(F.array_distinct(g)).alias("n_distinct_shingles"),
+    )
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality filters: per-document duplicate-word
+    fraction, most-frequent-word share, and duplicate-3-gram fraction, with
+    a boolean gate. The word-mode is computed the scale-true way — explode
+    → partial-combining count on (doc_id, word) → per-doc max — instead of
+    an O(distinct × n) per-row lambda tower; the 3-gram ratios are cheap
+    per-row array expressions (same shapes as vocab_topk / ngram_profile).
+    Repetition screens are the standard LLM-corpus quality gate the
+    length/stopword screens in training_corpus don't cover (Rae et al.,
+    Gopher §A1.1)."""
+    d = _read(spark, sf_dir, "documents")
+    wstats = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct_words"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+    g = _word_3grams()
+    gstats = d.select(
+        "doc_id",
+        F.size(g).alias("n_3grams"),
+        F.size(F.array_distinct(g)).alias("n_distinct_3grams"),
+    )
+    dup3 = F.when(
+        F.col("n_3grams") > 0,
+        F.lit(1.0) - F.col("n_distinct_3grams") / F.col("n_3grams"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.col("top_word_n") / F.col("n_words")
+    return (
+        wstats.join(gstats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words"), 4
+            ).alias("dup_word_frac"),
+            F.round(top_frac, 4).alias("top_word_frac"),
+            F.round(dup3, 4).alias("dup_3gram_frac"),
+            ((top_frac > 0.2) | (dup3 > 0.3)).alias("repetitive"),
+        )
     )
 
 
@@ -991,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_groups": q_minhash_dup_groups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_groups": q_minhash_lsh_groups,
+        "jaccard_rare_pairs": q_jaccard_rare_pairs,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "simhash_near_dup": q_simhash_near_dup,
         "text_normalize": q_text_normalize,
         "pii_scrub": q_pii_scrub,
@@ -1003,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stopword_score": q_lang_stopword_score,
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_profile": q_ngram_profile,
+        "repetition_scores": q_repetition_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash16": q_simhash16,
         "media_inventory": q_media_inventory,
@@ -1319,6 +1398,33 @@ def oracle_sql() -> dict[str, str]:
             f"{ANN_N_PROBES} AS n_probes "
             "FROM exact JOIN ivf USING (vec_id)"
         ).format(ivf=S.ann_ivf_sql(n_probes=ANN_N_PROBES)),
+        "jaccard_rare_pairs": D.rare_shingle_pairs_sql(),
+        "jaccard_prefix_pairs": D.prefix_jaccard_pairs_sql(),
+        "repetition_scores": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+            "ws AS (SELECT doc_id, sum(c) AS n_words, "
+            "count(*) AS n_distinct_words, max(c) AS top_word_n "
+            "FROM wc GROUP BY doc_id), "
+            "g AS (SELECT doc_id, "
+            + D._SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
+            + " AS gs FROM documents), "
+            "gs AS (SELECT doc_id, length(gs) AS n_3grams, "
+            "length(list_distinct(gs)) AS n_distinct_3grams FROM g) "
+            "SELECT ws.doc_id, CAST(n_words AS INT) AS n_words, "
+            "round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 4) "
+            "AS dup_word_frac, "
+            "round(CAST(top_word_n AS DOUBLE) / n_words, 4) AS top_word_frac, "
+            "round(CASE WHEN n_3grams > 0 THEN "
+            "1.0 - CAST(n_distinct_3grams AS DOUBLE) / n_3grams "
+            "ELSE 0.0 END, 4) AS dup_3gram_frac, "
+            "(CAST(top_word_n AS DOUBLE) / n_words > 0.2) OR "
+            "(CASE WHEN n_3grams > 0 THEN "
+            "1.0 - CAST(n_distinct_3grams AS DOUBLE) / n_3grams "
+            "ELSE 0.0 END > 0.3) AS repetitive "
+            "FROM ws JOIN gs ON ws.doc_id = gs.doc_id"
+        ),
         "ngram_profile": (
             "WITH g AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
             "SELECT doc_id, "

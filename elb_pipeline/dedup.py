@@ -28,7 +28,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -364,6 +364,204 @@ def verified_pairs_cte() -> str:
         "FROM cands c JOIN sigs a ON a.doc_id = c.a_id "
         "JOIN sigs b ON b.doc_id = c.b_id "
         f"WHERE round({jac}, 4) >= {JACCARD_THRESHOLD})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via a rare-shingle inverted index — the deterministic
+# (sketch-free) complement to the banded MinHash path. Candidate recall is
+# exact over "pairs sharing at least one rare shingle": near-duplicates at
+# Jaccard >= 0.5 share most of their shingles, so unless EVERY shared
+# shingle is globally common the pair surfaces. At sf0.01 the rare path and
+# the LSH path verify the IDENTICAL 121-pair set (cap 4: 11,137 candidates
+# out of ~17M possible pairs; cap 2 drops to 92 true pairs, cap 8 quadruples
+# candidates with zero new true pairs — measured, see q_jaccard_rare_pairs).
+#
+# KNOWN BLIND SPOT (measured at sf0.001): a duplicate CLIQUE larger than
+# RARE_DF_MAX makes every shared shingle's df exceed the cap, so the whole
+# clique has no blocking key and its pairs are missed (sf0.001: 119 rare vs
+# 129 LSH pairs — the 10 missing are all inside one 5-doc clique). The
+# exact, blind-spot-free variant is prefix_jaccard_pairs below (AllPairs
+# prefix filter); the df-capped form is kept for its HARD per-bucket fanout
+# bound (df^2 <= 16), which the prefix filter cannot guarantee.
+# ---------------------------------------------------------------------------
+
+RARE_DF_MAX = 4  # doc-frequency cap on blocking shingles
+
+
+def rare_shingle_pairs(pool: DataFrame) -> DataFrame:
+    """Near-duplicate pairs (exact shingle-set Jaccard >= JACCARD_THRESHOLD)
+    blocked on shingles with document frequency in [2, RARE_DF_MAX].
+
+    100-TB shape: the inverted index is one explode + partial-combining
+    count per shingle; the df cap bounds the bucket self-join fanout to
+    df^2 <= 16 rows per shingle, so no shingle — however common — can
+    create a skewed or quadratic bucket (common shingles are simply not
+    blocking keys). Everything downstream of the explode is narrow
+    (doc_id, shingle) equi-joins; the Jaccard verify touches candidates
+    only. No sketch — the trade vs MinHash-LSH is a bigger candidate set at
+    equal threshold, and a deterministic (not probabilistic) recall gap:
+    dup cliques wider than RARE_DF_MAX are invisible (see module comment;
+    prefix_jaccard_pairs is the exact-recall variant)."""
+    sh = pool.select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+    )
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= RARE_DF_MAX))
+        .select("s")
+    )
+    keyed = sh.join(rare, "s")
+    cands = (
+        keyed.select(F.col("doc_id").alias("a_id"), "s")
+        .join(keyed.select(F.col("doc_id").alias("b_id"), "s"), "s")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets_ = pool.select("doc_id", F.array_distinct(_shingles()).alias("shs"))
+    a = sets_.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_sh"))
+    b = sets_.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_sh"))
+    jac = F.size(F.array_intersect("a_sh", "b_sh")) / F.size(
+        F.array_union("a_sh", "b_sh")
+    )
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def rare_shingle_pairs_sql() -> str:
+    """Full DuckDB twin (standalone statement over doc_pool)."""
+    sh_expr = _SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
+    jac = (
+        "CAST(length(list_intersect(a.shs, b.shs)) AS DOUBLE) / "
+        "length(list_distinct(a.shs || b.shs))"
+    )
+    return (
+        f"WITH {doc_pool_cte()}, "
+        f"sh AS (SELECT DISTINCT doc_id, unnest({sh_expr}) AS s FROM doc_pool), "
+        "rare AS (SELECT s FROM sh GROUP BY s "
+        f"HAVING count(*) BETWEEN 2 AND {RARE_DF_MAX}), "
+        "cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        "FROM sh a JOIN rare USING (s) JOIN sh b USING (s) "
+        "WHERE a.doc_id < b.doc_id), "
+        f"sets AS (SELECT doc_id, list_distinct({sh_expr}) AS shs "
+        "FROM doc_pool) "
+        f"SELECT c.a_id, c.b_id, round({jac}, 4) AS jaccard FROM cands c "
+        "JOIN sets a ON a.doc_id = c.a_id JOIN sets b ON b.doc_id = c.b_id "
+        f"WHERE round({jac}, 4) >= {JACCARD_THRESHOLD}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact prefix-filter Jaccard join (AllPairs, Bayardo et al. WWW'07).
+#
+# THE exact-recall set-similarity join: order every doc's shingles by a
+# canonical global order (df ascending, shingle ascending) and index only
+# the first  p = n - ceil(t*n) + 1  of them. Theorem: if J(x,y) >= t, the
+# two prefixes share a shingle — proof: if the globally-smallest shared
+# shingle w is outside prefix(x), every shared shingle sits in x's last
+# ceil(t*n_x)-1 positions, so overlap < t*n_x <= overlap. So the prefix
+# self-join has NO recall gap, closing rare_shingle_pairs' clique blind
+# spot (a K-wide dup clique simply yields K-row buckets — output-sized,
+# since the clique genuinely has K^2/2 true pairs).
+#
+# The trade vs the df-capped form: bucket fanout is no longer HARD-bounded
+# (a boilerplate shingle that ranks early in many docs' orders makes a
+# wide bucket). In exchange, rarest-first ordering plus the pre-join
+# length filter (t*n_a <= n_b <= n_a/t) is far MORE selective in practice:
+# at sf0.01 the candidate set is 732 pairs vs 11,137 for the capped form,
+# for the same 121 verified pairs (measured via the DuckDB twins' cands
+# CTEs) — the capped form's sole remaining advantage is the worst-case
+# df^2 <= 16 bound.
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_pairs(pool: DataFrame) -> DataFrame:
+    """Exact near-duplicate pairs (shingle-set Jaccard >= JACCARD_THRESHOLD)
+    via the AllPairs prefix filter — deterministic AND recall-complete.
+
+    100-TB shape: one explode + partial-combining df count, one window
+    rank partitioned by doc_id (well-distributed key), one equi-join on
+    prefix shingles with the length filter pushed into the join, Jaccard
+    verify on candidates only. All shuffles are on doc_id or shingle; no
+    all-pairs stage exists at any width."""
+    t = JACCARD_THRESHOLD
+    sh = pool.select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+    )
+    dfs = sh.groupBy("s").agg(F.count("*").alias("df"))
+    order_w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(dfs, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(order_w).alias("pos"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+        )
+    )
+    pre = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc_id", "s", "n")
+    a = pre.select(F.col("doc_id").alias("a_id"), "s", F.col("n").alias("a_n"))
+    b = pre.select(F.col("doc_id").alias("b_id"), "s", F.col("n").alias("b_n"))
+    cands = (
+        a.join(b, "s")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            # length filter: J >= t forces t*|x| <= |y| and t*|y| <= |x|
+            & (F.lit(t) * F.col("a_n") <= F.col("b_n"))
+            & (F.lit(t) * F.col("b_n") <= F.col("a_n"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets_ = pool.select("doc_id", F.array_distinct(_shingles()).alias("shs"))
+    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_sh"))
+    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_sh"))
+    jac = F.size(F.array_intersect("a_sh", "b_sh")) / F.size(
+        F.array_union("a_sh", "b_sh")
+    )
+    return (
+        cands.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def prefix_jaccard_pairs_sql() -> str:
+    """Full DuckDB twin (standalone statement over doc_pool)."""
+    t = JACCARD_THRESHOLD
+    sh_expr = _SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
+    jac = (
+        "CAST(length(list_intersect(a.shs, b.shs)) AS DOUBLE) / "
+        "length(list_distinct(a.shs || b.shs))"
+    )
+    return (
+        f"WITH {doc_pool_cte()}, "
+        f"sh AS (SELECT DISTINCT doc_id, unnest({sh_expr}) AS s FROM doc_pool), "
+        "dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s), "
+        "ranked AS (SELECT doc_id, sh.s, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY df, sh.s) AS pos, "
+        "count(*) OVER (PARTITION BY doc_id) AS n "
+        "FROM sh JOIN dfs USING (s)), "
+        f"pre AS (SELECT doc_id, s, n FROM ranked "
+        f"WHERE pos <= n - ceil({t} * n) + 1), "
+        "cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        "FROM pre a JOIN pre b USING (s) "
+        "WHERE a.doc_id < b.doc_id "
+        f"AND {t} * a.n <= b.n AND {t} * b.n <= a.n), "
+        f"sets AS (SELECT doc_id, list_distinct({sh_expr}) AS shs "
+        "FROM doc_pool) "
+        f"SELECT c.a_id, c.b_id, round({jac}, 4) AS jaccard FROM cands c "
+        "JOIN sets a ON a.doc_id = c.a_id JOIN sets b ON b.doc_id = c.b_id "
+        f"WHERE round({jac}, 4) >= {JACCARD_THRESHOLD}"
     )
 
 
