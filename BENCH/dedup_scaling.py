@@ -41,7 +41,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICA_STRIDE = 1_000_000  # > max pooled doc_id (~205k): replica ids disjoint
 
 
-def scaled_pool(docs, k_replicas: int):
+def scaled_pool(docs, k_replicas: int, word_prefix: bool = False):
     """K disjoint-shingle replicas of the planted dedup pool.
 
     Markers are FIXED-WIDTH and SHORT (zq00..zq99, 4 chars) so every
@@ -61,8 +61,25 @@ def scaled_pool(docs, k_replicas: int):
     base = doc_pool(docs)
     reps = []
     for k in range(k_replicas):
-        # marker after every 2nd word => every 3-gram contains it
-        marked = F.regexp_replace(F.col("text"), r"(\S+ \S+) ", f"$1 zq{k:02d} ")
+        if word_prefix:
+            # bijective per-word marking: w -> zqNNw. Preserves the corpus'
+            # TRIGRAM df distribution exactly (a bijection on the vocabulary
+            # maps shingle multisets 1:1, and the constant prefix preserves
+            # lexicographic order within a replica), while still making
+            # every replica's shingles cross-replica disjoint. Used by the
+            # exact-Jaccard series: the infix marker below degrades shingles
+            # to BIGRAM entropy, which is a legitimate adversarial corpus
+            # (and the df-capped rare path survived it — see BASELINE.md)
+            # but not a scaling measurement of organic-corpus behavior: on
+            # the bigram-shaped pool the prefix filter's candidate set is
+            # 19x the organic one (3.06M vs 162k per 5,840 docs, measured)
+            # and the verify stage's intermediates exhausted the disk.
+            marked = F.regexp_replace(F.col("text"), r"(\S+)", f"zq{k:02d}$1")
+        else:
+            # marker after every 2nd word => every 3-gram contains it
+            marked = F.regexp_replace(
+                F.col("text"), r"(\S+ \S+) ", f"$1 zq{k:02d} "
+            )
         reps.append(
             base.select(
                 (F.col("doc_id") + k * REPLICA_STRIDE).alias("doc_id"),
@@ -211,11 +228,12 @@ def run_rare_level(spark, k_replicas: int, tag: str = "", series: str = "rare") 
     on the K-replica pool. Unlike the LSH series there is NO probabilistic
     recall: replicas are textually identical up to their fixed-width marker,
     so per-replica pair counts must be EXACTLY equal — a stronger structural
-    criterion. The marked pool needs no demarking: every replica's shingles
-    contain its own marker, so shingle doc-frequencies (hence both the
-    df-capped blocking and the prefix-filter global order, up to
-    within-replica tie-breaks that are themselves replica-symmetric) are
-    computed per-replica by construction."""
+    criterion. The pool uses the word_prefix (bijective) marking so each
+    replica's shingle df distribution is ISOMORPHIC to the organic corpus'
+    trigram distribution (see scaled_pool) — per-replica candidate sets,
+    global orders, and pair sets are then exactly replica-symmetric, and
+    the measured scaling reflects organic-corpus behavior rather than the
+    infix marker's bigram-entropy degradation."""
     from pyspark.sql import functions as F
 
     from elb_pipeline.dedup import prefix_jaccard_pairs, rare_shingle_pairs
@@ -227,7 +245,9 @@ def run_rare_level(spark, k_replicas: int, tag: str = "", series: str = "rare") 
     pool_path = os.path.join(
         os.environ["ELB_MAT_CACHE"], f"rare_pool_k{k_replicas}{tag}.parquet"
     )
-    scaled_pool(docs, k_replicas).write.mode("overwrite").parquet(pool_path)
+    scaled_pool(docs, k_replicas, word_prefix=True).write.mode(
+        "overwrite"
+    ).parquet(pool_path)
     pool = spark.read.parquet(pool_path)
     n_docs = pool.count()
 

@@ -424,7 +424,11 @@ def q_jaccard_prefix_pairs(spark, sf_dir):
     clique blind spot this closes; tests/test_dedup_parity.py proves
     equality to a brute-force all-pairs oracle at sf0.001). Blocking keys
     are each doc's n - ceil(t*n) + 1 globally-rarest shingles; the length
-    filter is pushed into the candidate join (dedup.prefix_jaccard_pairs)."""
+    filter is pushed into the candidate join, the PPJoin positional filter
+    prunes at the pair aggregate, and the verify runs on 8-byte xxhash64
+    set arrays (dedup.prefix_jaccard_pairs — see the module comment's
+    measured scale lesson: the string-array form spilled >65 GB at 233k
+    docs on a bigram-entropy corpus)."""
     from elb_pipeline.dedup import doc_pool, prefix_jaccard_pairs
 
     return prefix_jaccard_pairs(doc_pool(_read(spark, sf_dir, "documents")))

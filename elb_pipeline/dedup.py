@@ -420,9 +420,24 @@ def rare_shingle_pairs(pool: DataFrame) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    sets_ = pool.select("doc_id", F.array_distinct(_shingles()).alias("shs"))
-    a = sets_.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_sh"))
-    b = sets_.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_sh"))
+    return _jaccard_verify(cands, pool)
+
+
+def _jaccard_verify(cands: DataFrame, pool: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of ``cands(a_id, b_id)`` against the docs'
+    shingle SETS, shipped as 8-byte ``xxhash64`` arrays instead of the raw
+    shingle strings. Set sizes (hence Jaccard) are identical to the string
+    form absent an intra-pair 64-bit collision (~|union|^2 / 2^65 ≈ 1e-16
+    per pair — the DuckDB twins verify on plain strings, so any collision
+    would surface as an oracle mismatch). The byte win is the scale story:
+    the candidate join's intermediates carry ~8 B/shingle instead of the
+    ~30 B/shingle strings — at 233k docs the string form's verify stage
+    spilled >65 GB and died on ENOSPC; the hashed form fits (measured,
+    BENCH/dedup_scaling.py prefix)."""
+    hs = F.transform(F.array_distinct(_shingles()), lambda x: F.xxhash64(x))
+    sets_ = pool.select("doc_id", hs.alias("hs"))
+    a = sets_.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_sh"))
+    b = sets_.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_sh"))
     jac = F.size(F.array_intersect("a_sh", "b_sh")) / F.size(
         F.array_union("a_sh", "b_sh")
     )
@@ -478,6 +493,21 @@ def rare_shingle_pairs_sql() -> str:
 # for the same 121 verified pairs (measured via the DuckDB twins' cands
 # CTEs) — the capped form's sole remaining advantage is the worst-case
 # df^2 <= 16 bound.
+#
+# SCALE LESSON (measured, BENCH/dedup_scaling.py prefix at 233k docs): on
+# an ORGANIC corpus the length filter alone is nearly vacuous — same-length
+# docs sharing one mid-rarity shingle produced 407k candidates per 5,840
+# docs (2.4% of all pairs), and verifying them by shipping ~1.5 KB
+# shingle-STRING arrays through two joins spilled >65 GB and died on
+# ENOSPC. Two recall-preserving fixes landed: (1) the PPJoin POSITIONAL
+# filter (Xiao et al., WWW'08) — for each prefix match at positions
+# (p_a, p_b) the remaining-overlap bound is 1 + min(n_a-p_a, n_b-p_b),
+# and the pair is viable only if the bound at its best match reaches the
+# required overlap ceil(t/(1+t)*(n_a+n_b)); recall-safe because the
+# globally-smallest shared shingle w is in both prefixes (AllPairs
+# theorem) and every shared shingle sits at-or-after w in both orders, so
+# ub(w) >= true overlap. Cuts candidates 2.5x (407k -> 162k per replica).
+# (2) verify on 8-byte xxhash64 arrays, not strings (_jaccard_verify).
 # ---------------------------------------------------------------------------
 
 
@@ -487,8 +517,12 @@ def prefix_jaccard_pairs(pool: DataFrame) -> DataFrame:
 
     100-TB shape: one explode + partial-combining df count, one window
     rank partitioned by doc_id (well-distributed key), one equi-join on
-    prefix shingles with the length filter pushed into the join, Jaccard
-    verify on candidates only. All shuffles are on doc_id or shingle; no
+    prefix shingles with the length filter pushed into the join AND the
+    PPJoin positional filter applied at the pair-aggregation (see the
+    module comment's scale lesson — without it the organic-corpus
+    candidate set is 2.5x larger and the string-array verify spilled the
+    disk at 233k docs), Jaccard verify on candidates only over 8-byte
+    hashed shingle sets. All shuffles are on doc_id or shingle; no
     all-pairs stage exists at any width."""
     t = JACCARD_THRESHOLD
     sh = pool.select(
@@ -507,10 +541,21 @@ def prefix_jaccard_pairs(pool: DataFrame) -> DataFrame:
     )
     pre = ranked.where(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("doc_id", "s", "n")
-    a = pre.select(F.col("doc_id").alias("a_id"), "s", F.col("n").alias("a_n"))
-    b = pre.select(F.col("doc_id").alias("b_id"), "s", F.col("n").alias("b_n"))
-    cands = (
+    ).select("doc_id", "s", "pos", "n")
+    a = pre.select(
+        F.col("doc_id").alias("a_id"), "s",
+        F.col("pos").alias("a_pos"), F.col("n").alias("a_n"),
+    )
+    b = pre.select(
+        F.col("doc_id").alias("b_id"), "s",
+        F.col("pos").alias("b_pos"), F.col("n").alias("b_n"),
+    )
+    # remaining-overlap upper bound contributed by this prefix match: the
+    # matched shingle plus everything after it in BOTH canonical orders
+    ub = F.lit(1) + F.least(
+        F.col("a_n") - F.col("a_pos"), F.col("b_n") - F.col("b_pos")
+    )
+    matches = (
         a.join(b, "s")
         .where(
             (F.col("a_id") < F.col("b_id"))
@@ -518,21 +563,23 @@ def prefix_jaccard_pairs(pool: DataFrame) -> DataFrame:
             & (F.lit(t) * F.col("a_n") <= F.col("b_n"))
             & (F.lit(t) * F.col("b_n") <= F.col("a_n"))
         )
+        .select("a_id", "b_id", "a_n", "b_n", ub.alias("ub"))
+    )
+    # J >= t  <=>  overlap >= t/(1+t) * (n_a + n_b); a pair is viable only
+    # if its best match's bound reaches that (recall-safe: the smallest
+    # shared shingle's bound always does — see module comment)
+    alpha = F.ceil(F.lit(t / (1 + t)) * (F.col("a_n") + F.col("b_n")))
+    cands = (
+        matches.groupBy("a_id", "b_id")
+        .agg(
+            F.max("ub").alias("best_ub"),
+            F.first("a_n").alias("a_n"),
+            F.first("b_n").alias("b_n"),
+        )
+        .where(F.col("best_ub") >= alpha)
         .select("a_id", "b_id")
-        .distinct()
     )
-    sets_ = pool.select("doc_id", F.array_distinct(_shingles()).alias("shs"))
-    sa = sets_.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_sh"))
-    sb = sets_.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_sh"))
-    jac = F.size(F.array_intersect("a_sh", "b_sh")) / F.size(
-        F.array_union("a_sh", "b_sh")
-    )
-    return (
-        cands.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _jaccard_verify(cands, pool)
 
 
 def prefix_jaccard_pairs_sql() -> str:
