@@ -402,6 +402,28 @@ def q_minhash_lsh_groups(spark, sf_dir):
     return dup_groups(verified_pairs(sigs), cache_key=key)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental corpus-refresh dedup: doc_pool's original documents
+    (doc_id < EXACT_OFFSET) play the standing corpus, the planted
+    exact/near clones (doc_id >= EXACT_OFFSET) play the incoming batch;
+    every batch doc gets a status in {exact_corpus, exact_batch,
+    near_corpus, near_batch, kept} under the greedy single-pass rule
+    (dedup.incremental_dedup — the band join probes with the BATCH side
+    only, so no corpus x corpus work; exact layer is a narrow-key
+    semi-join). Reuses the same materialized signature table as the LSH
+    queries (production: the corpus signature store is standing state)."""
+    from elb_pipeline.dedup import (
+        EXACT_OFFSET,
+        doc_pool,
+        incremental_dedup,
+        materialized_signatures,
+    )
+
+    pool = doc_pool(_read(spark, sf_dir, "documents"))
+    sigs = materialized_signatures(pool, cache_key=_doc_cache_key(sf_dir))
+    return incremental_dedup(pool, sigs, EXACT_OFFSET)
+
+
 def q_jaccard_rare_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via a rare-shingle inverted
     index (df in [2, RARE_DF_MAX]) — the deterministic, sketch-free dedup
@@ -1071,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_groups": q_minhash_dup_groups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_groups": q_minhash_lsh_groups,
+        "dedup_incremental": q_dedup_incremental,
         "jaccard_rare_pairs": q_jaccard_rare_pairs,
         "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1402,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
             f"{ANN_N_PROBES} AS n_probes "
             "FROM exact JOIN ivf USING (vec_id)"
         ).format(ivf=S.ann_ivf_sql(n_probes=ANN_N_PROBES)),
+        "dedup_incremental": D.incremental_dedup_sql(D.EXACT_OFFSET),
         "jaccard_rare_pairs": D.rare_shingle_pairs_sql(),
         "jaccard_prefix_pairs": D.prefix_jaccard_pairs_sql(),
         "repetition_scores": (

@@ -368,6 +368,154 @@ def verified_pairs_cte() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Incremental (corpus-refresh) dedup: curate a NEW batch against an existing
+# immutable corpus — the production shape of every periodic corpus refresh.
+# Greedy single-pass semantics (the convention incremental pipelines use):
+# a batch doc is dropped if its content already exists in the corpus
+# (exactly or near), or if an earlier (smaller-id) batch doc carries the
+# same content; "earlier" wins regardless of whether the earlier doc was
+# itself dropped — equivalent content is in the corpus through whatever
+# dropped it. Status precedence: exact_corpus > exact_batch > near_corpus
+# > near_batch > kept.
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(pool: DataFrame, sigs: DataFrame, split_id: int) -> DataFrame:
+    """Per-batch-doc dedup status against the corpus (docs with
+    ``doc_id < split_id``) — returns (doc_id, status) for EVERY batch doc.
+
+    100-TB shape: the exact layer joins on the narrow (md5, length) key —
+    a semi-join against the corpus key set plus a partial-combining
+    min-per-key over the batch; the near layer is the SAME banded-LSH
+    machinery as verified_pairs but with the band join's probe side
+    restricted to the batch, so the work is |batch| band rows probing the
+    corpus index — NO corpus x corpus pairs are generated (at refresh
+    scale corpus >> batch, so that asymmetry is the whole game). Jaccard
+    verify touches candidates only. ``sigs`` is the materialized signature
+    table of corpus + batch (production: the corpus side is the standing
+    signature store — it carries no document text, which is why the exact
+    layer keys off ``pool``; only the batch rows are newly computed)."""
+    is_batch = F.col("doc_id") >= F.lit(split_id)
+    keys = pool.select(
+        "doc_id", F.md5("text").alias("h"), F.length("text").alias("l")
+    )
+    corpus_keys = keys.where(~is_batch).select("h", "l").distinct()
+    batch_keys = keys.where(is_batch)
+    exact_corpus = batch_keys.join(corpus_keys, ["h", "l"], "semi").select(
+        "doc_id", F.lit(True).alias("x_corpus")
+    )
+    firsts = batch_keys.groupBy("h", "l").agg(F.min("doc_id").alias("first_id"))
+    exact_batch = (
+        batch_keys.join(firsts, ["h", "l"])
+        .where(F.col("doc_id") > F.col("first_id"))
+        .select("doc_id", F.lit(True).alias("x_batch"))
+    )
+
+    keyed = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), _band_key(b)) for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    )
+    index_side = keyed.select(F.col("doc_id").alias("other_id"), "bk")
+    probe_side = keyed.where(is_batch).select(F.col("doc_id").alias("b_id"), "bk")
+    cands = (
+        index_side.join(probe_side, "bk")
+        .where(
+            # a partner counts if it is corpus, or an earlier batch doc
+            (F.col("other_id") < F.lit(split_id))
+            | (F.col("other_id") < F.col("b_id"))
+        )
+        .select("other_id", "b_id")
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("other_id"), F.col("sh").alias("a_sh"))
+    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    sa, sb = F.array_distinct("a_sh"), F.array_distinct("b_sh")
+    jac = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
+    near = (
+        cands.join(a, "other_id")
+        .join(b, "b_id")
+        .where(F.round(jac, 4) >= JACCARD_THRESHOLD)
+        .groupBy("b_id")
+        .agg(
+            F.max((F.col("other_id") < F.lit(split_id)).cast("int")).alias(
+                "near_corpus"
+            )
+        )
+        .select(
+            F.col("b_id").alias("doc_id"),
+            (F.col("near_corpus") == 1).alias("n_corpus"),
+            F.lit(True).alias("n_any"),
+        )
+    )
+
+    status = (
+        F.when(F.col("x_corpus"), F.lit("exact_corpus"))
+        .when(F.col("x_batch"), F.lit("exact_batch"))
+        .when(F.coalesce(F.col("n_corpus"), F.lit(False)), F.lit("near_corpus"))
+        .when(F.coalesce(F.col("n_any"), F.lit(False)), F.lit("near_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        batch_keys.select("doc_id")
+        .join(exact_corpus, "doc_id", "left")
+        .join(exact_batch, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+    )
+
+
+def incremental_dedup_sql(split_id: int) -> str:
+    """Full DuckDB twin (standalone statement; same greedy semantics)."""
+    jac = (
+        "CAST(length(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))"
+        " AS DOUBLE) / length(list_distinct(a.sh || b.sh))"
+    )
+    band_joins = []
+    for bnd in range(N_BANDS):
+        cols_a = " || ".join(
+            f"a.sig{bnd * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        cols_b = " || ".join(
+            f"b.sig{bnd * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        band_joins.append(
+            f"SELECT a.doc_id AS other_id, b.doc_id AS b_id FROM sigs a "
+            f"JOIN sigs b ON md5({cols_a}) = md5({cols_b}) "
+            f"WHERE b.doc_id >= {split_id} "
+            f"AND (a.doc_id < {split_id} OR a.doc_id < b.doc_id)"
+        )
+    return (
+        f"WITH {doc_pool_cte()}, {signatures_cte()}, "
+        "bd AS (SELECT doc_id, md5(text) AS h, length(text) AS l "
+        "FROM doc_pool), "
+        f"corpus_keys AS (SELECT DISTINCT h, l FROM bd WHERE doc_id < {split_id}), "
+        f"batch AS (SELECT * FROM bd WHERE doc_id >= {split_id}), "
+        "firsts AS (SELECT h, l, min(doc_id) AS first_id FROM batch "
+        "GROUP BY h, l), "
+        "icands AS (" + " UNION ".join(band_joins) + "), "
+        "inear AS (SELECT c.b_id, "
+        f"bool_or(a.doc_id < {split_id}) AS n_corpus "
+        "FROM (SELECT DISTINCT other_id, b_id FROM icands) c "
+        "JOIN sigs a ON a.doc_id = c.other_id "
+        "JOIN sigs b ON b.doc_id = c.b_id "
+        f"WHERE round({jac}, 4) >= {JACCARD_THRESHOLD} GROUP BY c.b_id) "
+        "SELECT batch.doc_id, "
+        "CASE WHEN EXISTS (SELECT 1 FROM corpus_keys ck "
+        "WHERE ck.h = batch.h AND ck.l = batch.l) THEN 'exact_corpus' "
+        "WHEN batch.doc_id > f.first_id THEN 'exact_batch' "
+        "WHEN i.n_corpus THEN 'near_corpus' "
+        "WHEN i.b_id IS NOT NULL THEN 'near_batch' "
+        "ELSE 'kept' END AS status "
+        "FROM batch JOIN firsts f ON f.h = batch.h AND f.l = batch.l "
+        "LEFT JOIN inear i ON i.b_id = batch.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via a rare-shingle inverted index — the deterministic
 # (sketch-free) complement to the banded MinHash path. Candidate recall is
 # exact over "pairs sharing at least one rare shingle": near-duplicates at
