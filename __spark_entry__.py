@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from elb_pipeline import dedup as D
+from elb_pipeline import mixture as M
 from elb_pipeline import oracle as O
+from elb_pipeline import packing as P
 from elb_pipeline import simsearch as S
 from elb_pipeline.aggregate import (
     salted_sink_day_bucket_counts,
@@ -591,6 +593,50 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing manifest (packing.py):
+    docs concatenated in doc_id order, chunked into SEQ_LEN-token
+    sequences; one row per sequence. The global token offset is a
+    TWO-PHASE distributed prefix sum (per-shard window cumsum + an O(S)
+    prefix over shard subtotals broadcast back) — no corpus-wide
+    Exchange SinglePartition, plan-asserted in tests/test_plans.py. The
+    DuckDB twin recomputes the DIRECT single-stream cumsum, so the oracle
+    proves the decomposition equals the direct form cross-engine. The
+    max-doc_id keyspace bound is one O(1) scalar off a pruned scan (the
+    sharded-export pattern, not a 1-row cross join)."""
+    from elb_pipeline.packing import sequence_pack
+
+    d = _read(spark, sf_dir, "documents")
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    return sequence_pack(d, max_doc_id=max_id)
+
+
+def q_lang_quota(spark, sf_dir):
+    """Per-language quota cap — top-QUOTA docs per lang by (n_chars DESC,
+    doc_id). Skew note (measured this round): Spark 4's WindowGroupLimit
+    rule plants a PARTIAL map-side top-QUOTA prune below the exchange, so
+    the direct window is already skew-resistant — a hand-rolled salted
+    two-stage (packing.lang_quota_salted, kept + pytest-equated) pays an
+    extra (lang, pid) shuffle for pruning the optimizer does for free.
+    Plan-asserted in tests/test_plans.py."""
+    from elb_pipeline.packing import lang_quota
+
+    return lang_quota(_read(spark, sf_dir, "documents"))
+
+
+def q_source_mixture(spark, sf_dir):
+    """Deterministic source-mixture sampler (mixture.py): per-source keep
+    rates for the largest token budget achievable at the target mixture
+    weights (w = u/sum_u, B = min(T/w), r = w*B/T), applied via an
+    RNG-free md5 hash gate. Rate arithmetic stays in the plan (windows
+    over the S-row per-source aggregate — O(#sources) single-partition
+    work, the packing-prefix shape); rates broadcast back to the corpus
+    scan. The DuckDB twin mirrors the exact float expression tree."""
+    from elb_pipeline.mixture import source_mixture
+
+    return source_mixture(_read(spark, sf_dir, "documents"))
+
+
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -1110,6 +1156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_profile": q_ngram_profile,
         "repetition_scores": q_repetition_scores,
         "doc_fingerprint": q_doc_fingerprint,
+        "sequence_pack": q_sequence_pack,
+        "lang_quota": q_lang_quota,
+        "source_mixture": q_source_mixture,
         "simhash16": q_simhash16,
         "media_inventory": q_media_inventory,
         "media_features": q_media_features,
@@ -1469,6 +1518,9 @@ def oracle_sql() -> dict[str, str]:
             "FOR i IN range(1, greatest(length(ws) - 2, 0) + 1)]) AS fingerprint "
             "FROM g"
         ),
+        "sequence_pack": P.sequence_pack_sql(),
+        "lang_quota": P.lang_quota_sql(),
+        "source_mixture": M.source_mixture_sql(),
         "simhash16": (
             f"WITH w AS (SELECT doc_id, {_TOKENIZE_SQL} FROM documents) "
             f"SELECT doc_id, {_simhash_sql(16)} AS simhash16 FROM w"

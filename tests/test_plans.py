@@ -85,6 +85,36 @@ def test_sharded_export_has_no_single_partition_exchange(spark):
     assert "SinglePartition" in ordered  # the contrast that motivates it
 
 
+def test_sequence_pack_prefix_sum_is_sharded(spark):
+    """The two-phase prefix sum: the corpus-side cumsum window partitions
+    by shard (parallel), and the plan's ONLY SinglePartition exchange
+    feeds the O(n_shards)-row subtotal prefix — its child must be the
+    shard HashAggregate, never a scan or the doc-level window."""
+    p = plan_of(entry_mod.q_sequence_pack(spark, SF_DIR), mode="simple")
+    lines = p.splitlines()
+    single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert len(single) == 1, p
+    assert "HashAggregate" in lines[single[0] + 1], p
+    # corpus cumsum runs under a shard-partitioned window, broadcast-joined
+    assert "windowspecdefinition(shard" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_lang_quota_window_prunes_map_side(spark):
+    """Spark 4's WindowGroupLimit must plant the Partial (map-side)
+    top-QUOTA prune BELOW the exchange — the property that makes the
+    direct per-lang window skew-resistant (packing.py docstring). If an
+    upgrade ever drops the rule, this trips and lang_quota should switch
+    to packing.lang_quota_salted."""
+    p = plan_of(entry_mod.q_lang_quota(spark, SF_DIR), mode="simple")
+    lines = p.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert len(partial) == 1 and len(exchange) == 1, p
+    assert partial[0] > exchange[0], p  # deeper in the tree = before the shuffle
+
+
 def test_sessions_batch_single_shuffle_on_conv_id(spark):
     """Batch sessionization: both windows and the final groupBy share the
     conv_id partitioning — exactly ONE exchange in the plan."""
