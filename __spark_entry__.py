@@ -608,7 +608,11 @@ def q_sequence_pack(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     max_id = d.agg(F.max("doc_id")).first()[0]
-    return sequence_pack(d, max_doc_id=max_id)
+    # shard count follows the session's parallelism (the oracle twin is
+    # invariant to the decomposition width; 8 would cap the cumsum stage)
+    return sequence_pack(
+        d, max_doc_id=max_id, n_shards=spark.sparkContext.defaultParallelism
+    )
 
 
 def q_lang_quota(spark, sf_dir):

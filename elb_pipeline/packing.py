@@ -122,13 +122,16 @@ def doc_token_spans(
 
 
 def sequence_pack(
-    docs: DataFrame, max_doc_id: int, seq_len: int = SEQ_LEN
+    docs: DataFrame,
+    max_doc_id: int,
+    seq_len: int = SEQ_LEN,
+    n_shards: int = N_PACK_SHARDS,
 ) -> DataFrame:
     """Per-sequence packing manifest: (seq_id, n_docs, n_tokens, first_doc,
     last_doc). A doc spanning a boundary contributes to every sequence it
     touches; every sequence holds exactly ``seq_len`` tokens except the
     last. The explode is bounded by ceil(doc_len/seq_len) rows per doc."""
-    spans = doc_token_spans(docs, max_doc_id)
+    spans = doc_token_spans(docs, max_doc_id, n_shards=n_shards)
     first_seq = F.floor(F.col("start") / seq_len)
     last_seq = F.floor(F.col("fin") / seq_len)
     per_seq = spans.select(
