@@ -641,6 +641,19 @@ def q_source_mixture(spark, sf_dir):
     return source_mixture(_read(spark, sf_dir, "documents"))
 
 
+def q_curriculum_bins(spark, sf_dir):
+    """Curriculum quartile binning with SCALE-TRUE exact quantiles
+    (mixture.py): the corpus collapses to its n_chars value distribution
+    (bounded cardinality), the CDF walk runs over the O(distinct)-row
+    aggregate, and the 1-row boundary frame joins back on a constant key
+    as a BroadcastHashJoin — no O(rows)-buffer `percentile` aggregate, no
+    BroadcastNestedLoopJoin. The DuckDB twin runs the identical CTE chain
+    so neither engine's quantile built-in is trusted."""
+    from elb_pipeline.mixture import curriculum_bins
+
+    return curriculum_bins(_read(spark, sf_dir, "documents"))
+
+
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -1163,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "lang_quota": q_lang_quota,
         "source_mixture": q_source_mixture,
+        "curriculum_bins": q_curriculum_bins,
         "simhash16": q_simhash16,
         "media_inventory": q_media_inventory,
         "media_features": q_media_features,
@@ -1525,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": P.sequence_pack_sql(),
         "lang_quota": P.lang_quota_sql(),
         "source_mixture": M.source_mixture_sql(),
+        "curriculum_bins": M.curriculum_bins_sql(),
         "simhash16": (
             f"WITH w AS (SELECT doc_id, {_TOKENIZE_SQL} FROM documents) "
             f"SELECT doc_id, {_simhash_sql(16)} AS simhash16 FROM w"

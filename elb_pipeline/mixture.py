@@ -114,6 +114,83 @@ def source_mixture(docs: DataFrame) -> DataFrame:
     )
 
 
+QUANTILES = (0.25, 0.5, 0.75)  # curriculum quartile cut points
+
+
+def bucket_lut(docs: DataFrame) -> DataFrame:
+    """(n_chars, bucket): each distinct value's exact-quantile bucket,
+    WITHOUT Spark's `percentile` aggregate (whose buffer is O(rows) per
+    group — not scale-true) and without any boundary self-join. The
+    corpus collapses to its VALUE DISTRIBUTION first (groupBy n_chars —
+    bounded cardinality for a length-like measure; bucket a truly
+    continuous measure before calling); the CDF walk is a window over the
+    O(distinct)-row aggregate — the same shape as the mixture-rate and
+    packing-prefix arithmetic. A value v belongs above threshold p
+    exactly when the cumulative count BEFORE v (cum − cnt) has already
+    reached ceil(p·n), so bucket(v) = Σ_p [cum − cnt ≥ ceil(p·n)] — the
+    smallest value reaching a threshold stays in the lower bucket, i.e.
+    discrete quantiles with ties kept together."""
+    vals = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    w_cdf = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = vals.select(
+        "n_chars",
+        (F.sum("cnt").over(w_cdf) - F.col("cnt")).alias("pre"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    bucket = sum(
+        (F.col("pre") >= F.ceil(F.lit(p) * F.col("n"))).cast("int")
+        for p in QUANTILES
+    )
+    return cdf.select("n_chars", bucket.alias("bucket"))
+
+
+def curriculum_bins(docs: DataFrame) -> DataFrame:
+    """Per-quartile curriculum rollup: docs binned by exact n_chars
+    quartiles — (bucket, n_docs, chars_total, min_chars, max_chars).
+    The bucket lookup table is O(distinct values) rows → broadcast
+    equi-join on the REAL key n_chars (no constant-key hack, which
+    Catalyst folds into a BroadcastNestedLoopJoin — the suite-wide plan
+    assertion forbids those)."""
+    lut = bucket_lut(docs)
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(lut), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def curriculum_bins_sql() -> str:
+    """DuckDB twin — the identical distribution-rollup CTE chain, so the
+    oracle shares no engine quantile implementation with either side."""
+    hits = " + ".join(
+        f"CAST(cum - cnt >= ceil({p} * n) AS INT)" for p in QUANTILES
+    )
+    return (
+        "WITH v AS (SELECT n_chars, count(*) AS cnt FROM documents "
+        "GROUP BY n_chars), "
+        "c AS (SELECT n_chars, cnt, "
+        "CAST(sum(cnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS cum, "
+        "CAST(sum(cnt) OVER () AS BIGINT) AS n FROM v), "
+        f"l AS (SELECT n_chars, CAST({hits} AS INT) AS bucket FROM c) "
+        "SELECT bucket, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_total, "
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+        "FROM documents JOIN l USING (n_chars) GROUP BY bucket"
+    )
+
+
 _SQL_NT = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
 _SQL_FRAC = (
     "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"

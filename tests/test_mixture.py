@@ -55,6 +55,41 @@ def test_deterministic_across_runs(docs, mix):
     assert mix.reset_index(drop=True).equals(again.reset_index(drop=True))
 
 
+def test_curriculum_buckets_are_exact_quartiles(docs):
+    """With no ties at the cut points (sf0.001 has 500 distinct-ish
+    lengths), the four buckets must split the corpus into exact quarters;
+    bucket ranges must be disjoint and ordered."""
+    from elb_pipeline.mixture import curriculum_bins
+
+    rows = {
+        r["bucket"]: r
+        for r in curriculum_bins(docs).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    n = docs.count()
+    sizes = [rows[b]["n_docs"] for b in range(4)]
+    # discrete quantiles: each bucket within one tie-group of n/4
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= max(1, n // 50)
+    for b in range(3):
+        assert rows[b]["max_chars"] < rows[b + 1]["min_chars"]
+
+
+def test_curriculum_ties_stay_together(spark):
+    """All docs sharing one n_chars value land in ONE bucket (the lookup
+    is per-value): force heavy ties and check no value straddles."""
+    from elb_pipeline.mixture import bucket_lut
+
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("n_chars"),  # 7 distinct values, ~143 each
+    )
+    lut = bucket_lut(d).collect()
+    assert len(lut) == 7  # one row per value — a value maps to one bucket
+    buckets = [r["bucket"] for r in sorted(lut, key=lambda r: r["n_chars"])]
+    assert buckets == sorted(buckets) and set(buckets) <= {0, 1, 2, 3}
+
+
 def test_mixture_plan_broadcasts_rates(spark):
     """The S-row rates side must broadcast (never sort-merge the corpus)
     and the only SinglePartition exchange feeds the per-source aggregate
@@ -74,3 +109,23 @@ def test_mixture_plan_broadcasts_rates(spark):
     single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
     assert len(single) == 1, p
     assert "HashAggregate" in lines[single[0] + 1], p
+
+
+def test_curriculum_plan_no_nested_loop(spark):
+    """The bucket lookup joins on the REAL key n_chars: BroadcastHashJoin,
+    never the BroadcastNestedLoopJoin a folded constant-key join (or
+    crossJoin) would plan; the only SinglePartition exchange feeds the
+    O(distinct-values) CDF window."""
+    import io
+    import contextlib
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_curriculum_bins(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert p.count("Exchange SinglePartition") == 1, p
