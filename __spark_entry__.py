@@ -852,6 +852,31 @@ def q_training_corpus(spark, sf_dir):
     )
 
 
+def q_corpus_sequences(spark, sf_dir):
+    """END-TO-END flagship: curate → pack in one query. The five-screen
+    training_corpus survivors (doc_id, n_tokens) flow straight into the
+    concat-and-chunk sequence packer — the final artifact a pretraining
+    data pipeline ships: the 512-token training-sequence manifest of the
+    CURATED corpus. The packer reuses the survivors' n_tokens column (no
+    re-tokenization scan) and its two-phase distributed prefix sum; the
+    doc_id keyspace bound comes from the raw table (an upper bound keeps
+    the arithmetic shard monotone over any survivor subset — O(1) scalar
+    off a pruned scan). The DuckDB twin composes the SAME curation CTE
+    chain with the direct single-stream cumsum pack, so parity proves the
+    whole curate→pack pipeline cross-engine in one check."""
+    from elb_pipeline.packing import sequence_pack
+
+    surv = q_training_corpus(spark, sf_dir)
+    max_id = (
+        _read(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    )
+    return sequence_pack(
+        surv,
+        max_doc_id=max_id,
+        n_shards=spark.sparkContext.defaultParallelism,
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (streaming.dedup_stream:
     ``dropDuplicatesWithinWatermark`` keyed on (md5(text), length)) driven
@@ -1166,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "contamination_check": q_contamination_check,
         "training_corpus": q_training_corpus,
+        "corpus_sequences": q_corpus_sequences,
         "streaming_dedup": q_streaming_dedup,
         "token_count_bpe": q_token_count_bpe,
         "lang_stopword_score": q_lang_stopword_score,
@@ -1245,6 +1271,48 @@ def _file_corpus_oracle_sql() -> str:
         "UNION ALL "
         f"SELECT 'classic_plain' AS corpus, {O.sink_expr('text')} AS sink, "
         "count(*) AS n FROM clb_lines GROUP BY 1, 2"
+    )
+
+
+def _training_corpus_ctes() -> str:
+    """CTE chain (sans WITH RECURSIVE prefix) of the five-screen curation
+    oracle — shared by `training_corpus` and the packed `corpus_sequences`
+    so the two DuckDB twins cannot drift apart."""
+    sh = D._SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
+    return (
+        f"{D.doc_pool_cte()}, {D.signatures_cte()}, "
+        f"{D.lsh_candidates_cte()}, {D.verified_pairs_cte()}, "
+        f"{D.dup_groups_cte()}, "
+        "exact_keep AS (SELECT min(doc_id) AS doc_id FROM doc_pool "
+        "GROUP BY md5(text), length(text)), "
+        "near_drop AS (SELECT doc_id FROM groups WHERE doc_id != group_id), "
+        f"pool_sh AS (SELECT DISTINCT doc_id, unnest({sh}) AS s "
+        "FROM doc_pool), "
+        f"bench AS (SELECT DISTINCT s FROM (SELECT unnest({sh}) AS s "
+        "FROM documents WHERE doc_id < 10)), "
+        "contaminated AS (SELECT DISTINCT p.doc_id FROM pool_sh p "
+        "JOIN bench b ON p.s = b.s), "
+        "tok AS (SELECT doc_id, text, "
+        "length(text) - length(replace(text, ' ', '')) + 1 AS nt "
+        "FROM doc_pool)"
+    )
+
+
+def _training_corpus_select() -> str:
+    """Final SELECT of the curation oracle: the survivors (doc_id,
+    n_tokens) — composable as a CTE body for downstream stages."""
+    return (
+        "SELECT t.doc_id, CAST(nt AS INT) AS n_tokens FROM tok t "
+        "WHERE t.doc_id IN (SELECT doc_id FROM exact_keep) "
+        "AND t.doc_id NOT IN (SELECT doc_id FROM near_drop) "
+        "AND t.doc_id NOT IN (SELECT doc_id FROM contaminated) "
+        "AND t.doc_id >= 10 AND nt >= 30 "
+        "AND 2 * length(text) <= 11 * nt "
+        "AND length(list_intersect(string_split(text, ' '), "
+        + O._str_list(_EN_STOPWORDS)
+        + ")) >= 2 "
+        f"AND t.doc_id % {D.EXACT_OFFSET} IN "
+        "(SELECT doc_id FROM documents WHERE lang = 'en')"
     )
 
 
@@ -1573,34 +1641,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(text) AS INT) AS fp_len FROM transcripts"
         ),
         "training_corpus": (
-            f"WITH RECURSIVE {D.doc_pool_cte()}, {D.signatures_cte()}, "
-            f"{D.lsh_candidates_cte()}, {D.verified_pairs_cte()}, "
-            f"{D.dup_groups_cte()}, "
-            "exact_keep AS (SELECT min(doc_id) AS doc_id FROM doc_pool "
-            "GROUP BY md5(text), length(text)), "
-            "near_drop AS (SELECT doc_id FROM groups WHERE doc_id != group_id), "
-            "pool_sh AS (SELECT DISTINCT doc_id, unnest("
-            + D._SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
-            + ") AS s FROM doc_pool), "
-            "bench AS (SELECT DISTINCT s FROM (SELECT unnest("
-            + D._SHINGLES_SQL.replace("ws", "string_split(text, ' ')")
-            + ") AS s FROM documents WHERE doc_id < 10)), "
-            "contaminated AS (SELECT DISTINCT p.doc_id FROM pool_sh p "
-            "JOIN bench b ON p.s = b.s), "
-            "tok AS (SELECT doc_id, text, "
-            "length(text) - length(replace(text, ' ', '')) + 1 AS nt "
-            "FROM doc_pool) "
-            "SELECT t.doc_id, CAST(nt AS INT) AS n_tokens FROM tok t "
-            "WHERE t.doc_id IN (SELECT doc_id FROM exact_keep) "
-            "AND t.doc_id NOT IN (SELECT doc_id FROM near_drop) "
-            "AND t.doc_id NOT IN (SELECT doc_id FROM contaminated) "
-            "AND t.doc_id >= 10 AND nt >= 30 "
-            "AND 2 * length(text) <= 11 * nt "
-            "AND length(list_intersect(string_split(text, ' '), "
-            + O._str_list(_EN_STOPWORDS)
-            + ")) >= 2 "
-            f"AND t.doc_id % {D.EXACT_OFFSET} IN "
-            "(SELECT doc_id FROM documents WHERE lang = 'en')"
+            f"WITH RECURSIVE {_training_corpus_ctes()} "
+            f"{_training_corpus_select()}"
+        ),
+        "corpus_sequences": (
+            f"WITH RECURSIVE {_training_corpus_ctes()}, "
+            f"surv AS ({_training_corpus_select()}), "
+            + P.sequence_pack_tail_sql("surv", "n_tokens")
         ),
         "contamination_check": (
             "WITH shingled AS (SELECT DISTINCT doc_id, unnest("

@@ -83,10 +83,19 @@ def doc_token_spans(
 ) -> DataFrame:
     """(doc_id, n_tokens, start, fin): each doc's half-open token interval
     [start, fin] in the concatenated doc_id-ordered token stream, via the
-    two-phase prefix sum described in the module docstring."""
+    two-phase prefix sum described in the module docstring. If ``docs``
+    already carries an ``n_tokens`` column (e.g. the curated-corpus
+    survivors), it is used as-is; otherwise it is derived from ``text``.
+    ``max_doc_id`` only needs to be an UPPER BOUND on the keyspace — the
+    arithmetic shard stays monotone for any subset of ids."""
+    nt = (
+        F.col("n_tokens").cast("long")
+        if "n_tokens" in docs.columns
+        else n_tokens_expr()
+    )
     d = docs.select(
         "doc_id",
-        n_tokens_expr().alias("n_tokens"),
+        nt.alias("n_tokens"),
         _arith_shard(F.col("doc_id"), max_doc_id, n_shards).alias("shard"),
     )
     w_in = (
@@ -163,6 +172,28 @@ def sequence_pack_sql(seq_len: int = SEQ_LEN) -> str:
         "c AS (SELECT doc_id, nt, "
         "CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt "
         "AS BIGINT) AS start FROM d), "
+        "e AS (SELECT doc_id, start, start + nt - 1 AS fin FROM c), "
+        "x AS (SELECT doc_id, start, fin, "
+        f"unnest(generate_series(start // {seq_len}, fin // {seq_len})) "
+        "AS seq_id FROM e) "
+        "SELECT seq_id, count(*) AS n_docs, "
+        f"CAST(sum(least(fin, (seq_id + 1) * {seq_len} - 1) - "
+        f"greatest(start, seq_id * {seq_len}) + 1) AS BIGINT) AS n_tokens, "
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc "
+        "FROM x GROUP BY seq_id"
+    )
+
+
+def sequence_pack_tail_sql(src: str, nt: str, seq_len: int = SEQ_LEN) -> str:
+    """DuckDB CTE TAIL packing relation ``src`` (must expose ``doc_id``
+    and the token-count expression ``nt``) — compose after
+    ``WITH ..., {src} AS (...), `` to pack any upstream pipeline stage
+    (e.g. the curated-corpus survivors) with the direct single-stream
+    cumsum the two-phase Spark plan must equal."""
+    return (
+        f"c AS (SELECT doc_id, CAST({nt} AS BIGINT) AS nt, "
+        f"CAST(sum({nt}) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+        f"- {nt} AS BIGINT) AS start FROM {src}), "
         "e AS (SELECT doc_id, start, start + nt - 1 AS fin FROM c), "
         "x AS (SELECT doc_id, start, fin, "
         f"unnest(generate_series(start // {seq_len}, fin // {seq_len})) "
