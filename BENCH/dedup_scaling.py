@@ -212,6 +212,30 @@ def run_corpus_level(spark, k_replicas: int, tag: str = "") -> dict:
     )
     wall = time.monotonic() - t0
     rep_counts = sorted(r["count"] for r in per_rep)
+
+    # Pack stage (round 5): the corpus_sequences tail — survivors
+    # materialized OUTSIDE the pack timer (they were just computed above;
+    # a production pipeline hands the packer a table), then the two-phase
+    # prefix-sum packer is timed alone. Sequences must scale ~K x (total
+    # survivor tokens do), the wall sublinearly.
+    from elb_pipeline.packing import sequence_pack
+
+    surv_path = os.path.join(
+        os.environ["ELB_MAT_CACHE"], f"surv_k{k_replicas}{tag}.parquet"
+    )
+    corpus.write.mode("overwrite").parquet(surv_path)
+    surv = spark.read.parquet(surv_path)
+    t1 = time.monotonic()
+    packed = sequence_pack(
+        surv,
+        max_doc_id=k_replicas * REPLICA_STRIDE,  # keyspace bound, no scan
+        n_shards=spark.sparkContext.defaultParallelism,
+    )
+    n_seqs, tok_packed = packed.agg(
+        F.count("*"), F.sum("n_tokens")
+    ).first()
+    pack_wall = time.monotonic() - t1
+
     return {
         "k": k_replicas,
         "docs": n_docs,
@@ -220,6 +244,9 @@ def run_corpus_level(spark, k_replicas: int, tag: str = "") -> dict:
         "n_replicas_seen": len(rep_counts),
         "wall_total": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
+        "pack_wall": round(pack_wall, 3),
+        "n_sequences": n_seqs,
+        "tokens_packed": tok_packed,
     }
 
 
