@@ -141,8 +141,11 @@ def sequence_pack(
     touches; every sequence holds exactly ``seq_len`` tokens except the
     last. The explode is bounded by ceil(doc_len/seq_len) rows per doc."""
     spans = doc_token_spans(docs, max_doc_id, n_shards=n_shards)
-    first_seq = F.floor(F.col("start") / seq_len)
-    last_seq = F.floor(F.col("fin") / seq_len)
+    # INTEGER division (`div`), not floor(double /): token offsets at
+    # 10^12-turn scale can pass 2^53, where double division mis-bins the
+    # boundary doc; the DuckDB twin's `//` is integer division already
+    first_seq = F.expr(f"start div {seq_len}")
+    last_seq = F.expr(f"fin div {seq_len}")
     per_seq = spans.select(
         "doc_id",
         "start",
