@@ -582,6 +582,38 @@ def q_repetition_scores(spark, sf_dir):
     )
 
 
+def q_unigram_logfreq(spark, sf_dir):
+    """Unigram-frequency fluency score (the CCNet-style LM quality filter
+    reduced to its corpus-statistics core): per doc, the mean
+    floor(log2(corpus count)) of its words — documents made of common
+    words score high, gibberish scores low. Designed INTEGER-EXACT so no
+    cross-engine float drift is possible: floor(log2 n) = length(bin(n))-1
+    on both engines, the mean ships as (sum, count, (100·sum) div count).
+    The full -ln((cnt+1)/(total+V)) perplexity is a constant shift of
+    this statistic (ln(total+V) − avg ln(cnt+1)), so thresholding on it
+    is equivalent — and the constant needs no in-plan global scalar.
+    Scale shape: one groupBy(word) for the frequency table (partial-first;
+    vocab is sublinear in corpus), one join words→freq (broadcast at test
+    scale; at 100 TB broadcast the top-V vocabulary with an OOV default
+    bucket), one groupBy(doc_id) rollup."""
+    d = _read(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    lg = (F.length(F.bin(F.col("cnt"))) - 1).alias("lg")
+    return (
+        words.join(freq, "w")
+        .select("doc_id", lg)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("lg").cast("long").alias("sum_log2_freq"),
+            F.expr("CAST((100 * sum(lg)) div count(*) AS BIGINT)").alias(
+                "mean_log2_x100"
+            ),
+        )
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-shingle fingerprint: lexicographic-min md5 over word-3-grams
     (1-min sketch — two docs sharing the fingerprint are near-dup candidates)."""
@@ -1197,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stopword_score": q_lang_stopword_score,
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_profile": q_ngram_profile,
+        "unigram_logfreq": q_unigram_logfreq,
         "repetition_scores": q_repetition_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "sequence_pack": q_sequence_pack,
@@ -1603,6 +1636,17 @@ def oracle_sql() -> dict[str, str]:
             "list_min([md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
             "FOR i IN range(1, greatest(length(ws) - 2, 0) + 1)]) AS fingerprint "
             "FROM g"
+        ),
+        "unigram_logfreq": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "f AS (SELECT w, count(*) AS cnt FROM w GROUP BY w), "
+            "j AS (SELECT doc_id, length(bin(cnt)) - 1 AS lg "
+            "FROM w JOIN f USING (w)) "
+            "SELECT doc_id, count(*) AS n_words, "
+            "CAST(sum(lg) AS BIGINT) AS sum_log2_freq, "
+            "CAST((100 * sum(lg)) // count(*) AS BIGINT) AS mean_log2_x100 "
+            "FROM j GROUP BY doc_id"
         ),
         "sequence_pack": P.sequence_pack_sql(),
         "lang_quota": P.lang_quota_sql(),
