@@ -404,6 +404,49 @@ def q_minhash_lsh_groups(spark, sf_dir):
     return dup_groups(verified_pairs(sigs), cache_key=key)
 
 
+def q_leakproof_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split. A naive per-doc hash split
+    leaks: two near-duplicate docs can land in train AND val, and the
+    model is then evaluated on (a copy of) its training data. This
+    operator splits on the DUP-GROUP REPRESENTATIVE instead — split key =
+    coalesce(group_id, doc_id) — so whole duplicate cliques move as one
+    unit, by construction. The hash gate is the same RNG-free md5
+    fraction as source_mixture (80/10/10 at 0.8/0.9 thresholds),
+    reproducible across engines, runs and cluster sizes. Scale shape: the
+    groups side holds only docs that appear in a verified near-dup pair
+    (a small fraction of the corpus) → broadcast left join; everything
+    else is one corpus scan. The DuckDB twin recomputes the dup groups
+    through the shared recursive-CTE chain and the same coalesce+hash —
+    the straddle-freedom is pytest-asserted with a naive-split negative
+    control (tests/test_mixture.py)."""
+    from elb_pipeline.dedup import (
+        doc_pool,
+        dup_groups,
+        materialized_signatures,
+        verified_pairs,
+    )
+    from elb_pipeline.mixture import hash_frac
+
+    key = _doc_cache_key(sf_dir)
+    pool = doc_pool(_read(spark, sf_dir, "documents"))
+    groups = dup_groups(
+        verified_pairs(materialized_signatures(pool, cache_key=key)),
+        cache_key=key,
+    )
+    keyed = (
+        pool.select("doc_id")
+        .join(F.broadcast(groups), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("group_id", "doc_id").alias("skey")
+        )
+    )
+    frac = hash_frac(F.col("skey"))
+    split = (
+        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+    )
+    return keyed.select("doc_id", split.alias("split"))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental corpus-refresh dedup: doc_pool's original documents
     (doc_id < EXACT_OFFSET) play the standing corpus, the planted
@@ -1213,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_groups": q_minhash_dup_groups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_groups": q_minhash_lsh_groups,
+        "leakproof_split": q_leakproof_split,
         "dedup_incremental": q_dedup_incremental,
         "jaccard_rare_pairs": q_jaccard_rare_pairs,
         "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
@@ -1519,6 +1563,17 @@ def oracle_sql() -> dict[str, str]:
             f"WITH RECURSIVE {D.doc_pool_cte()}, {D.signatures_cte()}, "
             f"{D.lsh_candidates_cte()}, {D.verified_pairs_cte()}"
             + D.dup_groups_sql_tail()
+        ),
+        "leakproof_split": (
+            f"WITH RECURSIVE {D.doc_pool_cte()}, {D.signatures_cte()}, "
+            f"{D.lsh_candidates_cte()}, {D.verified_pairs_cte()}, "
+            f"{D.dup_groups_cte()}, "
+            "k AS (SELECT p.doc_id, "
+            "coalesce(g.group_id, p.doc_id) AS skey "
+            "FROM doc_pool p LEFT JOIN groups g USING (doc_id)) "
+            "SELECT doc_id, CASE WHEN f < 0.8 THEN 'train' "
+            "WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split FROM "
+            f"(SELECT doc_id, {M.sql_frac('skey')} AS f FROM k)"
         ),
         "simhash_near_dup": (
             f"WITH {D.doc_pool_cte()}, "

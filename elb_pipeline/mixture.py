@@ -192,10 +192,17 @@ def curriculum_bins_sql() -> str:
 
 
 _SQL_NT = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
-_SQL_FRAC = (
-    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
-    " / 4294967296.0)"
-)
+
+
+def sql_frac(col: str) -> str:
+    """DuckDB twin of ``hash_frac`` for any integer column expression."""
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) "
+        "AS UBIGINT) / 4294967296.0)"
+    )
+
+
+_SQL_FRAC = sql_frac("doc_id")
 
 
 def source_mixture_sql() -> str:

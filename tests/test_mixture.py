@@ -111,6 +111,60 @@ def test_mixture_plan_broadcasts_rates(spark):
     assert "HashAggregate" in lines[single[0] + 1], p
 
 
+def test_leakproof_split_no_pair_straddles(spark):
+    """The load-bearing property: no verified near-dup pair may straddle
+    splits. Negative control: the NAIVE per-doc hash split DOES straddle
+    on the same pairs — proving the group-representative key is what
+    prevents the leak, not luck."""
+    import __spark_entry__ as entry_mod
+    from elb_pipeline.dedup import (
+        doc_pool,
+        materialized_signatures,
+        verified_pairs,
+    )
+    from elb_pipeline.mixture import hash_frac
+
+    split = entry_mod.q_leakproof_split(spark, SF_DIR)
+    pool = doc_pool(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    pairs = verified_pairs(
+        materialized_signatures(pool, cache_key=entry_mod._doc_cache_key(SF_DIR))
+    ).select("a_id", "b_id")
+    a = split.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+        "split", "a_split"
+    )
+    b = split.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+        "split", "b_split"
+    )
+    joined = pairs.join(a, "a_id").join(b, "b_id")
+    assert joined.where(F.col("a_split") != F.col("b_split")).count() == 0
+    # negative control: naive split on the raw doc_id hash leaks
+    frac = hash_frac(F.col("doc_id"))
+    naive = pool.select(
+        "doc_id",
+        F.when(frac < 0.8, "train")
+        .when(frac < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    na = naive.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+        "split", "a_split"
+    )
+    nb = naive.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+        "split", "b_split"
+    )
+    leaked = (
+        pairs.join(na, "a_id").join(nb, "b_id")
+        .where(F.col("a_split") != F.col("b_split"))
+        .count()
+    )
+    assert leaked > 0, "fixture has no cross-split pairs to guard against"
+    # and the proportions stay in a loose 80/10/10 band
+    dist = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
+    n = sum(dist.values())
+    assert 0.7 < dist["train"] / n < 0.9
+    assert dist.get("val", 0) > 0 and dist.get("test", 0) > 0
+
+
 def test_curriculum_plan_no_nested_loop(spark):
     """The bucket lookup joins on the REAL key n_chars: BroadcastHashJoin,
     never the BroadcastNestedLoopJoin a folded constant-key join (or
