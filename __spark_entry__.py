@@ -377,12 +377,17 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     exact shingle-set Jaccard — the linear-cost near-dup path for 100 TB
     (dedup.py). Signatures are materialized to a parquet table (computed
     once, no persisted RDDs left behind)."""
-    from elb_pipeline.dedup import doc_pool, materialized_signatures, verified_pairs
-
-    sigs = materialized_signatures(
-        doc_pool(_read(spark, sf_dir, "documents")), cache_key=_doc_cache_key(sf_dir)
+    from elb_pipeline.dedup import (
+        doc_pool,
+        materialized_signatures,
+        materialized_verified_pairs,
     )
-    return verified_pairs(sigs)
+
+    key = _doc_cache_key(sf_dir)
+    sigs = materialized_signatures(
+        doc_pool(_read(spark, sf_dir, "documents")), cache_key=key
+    )
+    return materialized_verified_pairs(sigs, cache_key=key)
 
 
 def q_minhash_lsh_groups(spark, sf_dir):
@@ -394,14 +399,14 @@ def q_minhash_lsh_groups(spark, sf_dir):
         doc_pool,
         dup_groups,
         materialized_signatures,
-        verified_pairs,
+        materialized_verified_pairs,
     )
 
     key = _doc_cache_key(sf_dir)
     sigs = materialized_signatures(
         doc_pool(_read(spark, sf_dir, "documents")), cache_key=key
     )
-    return dup_groups(verified_pairs(sigs), cache_key=key)
+    return dup_groups(materialized_verified_pairs(sigs, cache_key=key), cache_key=key)
 
 
 def q_leakproof_split(spark, sf_dir):
@@ -423,14 +428,16 @@ def q_leakproof_split(spark, sf_dir):
         doc_pool,
         dup_groups,
         materialized_signatures,
-        verified_pairs,
+        materialized_verified_pairs,
     )
     from elb_pipeline.mixture import hash_frac
 
     key = _doc_cache_key(sf_dir)
     pool = doc_pool(_read(spark, sf_dir, "documents"))
     groups = dup_groups(
-        verified_pairs(materialized_signatures(pool, cache_key=key)),
+        materialized_verified_pairs(
+            materialized_signatures(pool, cache_key=key), cache_key=key
+        ),
         cache_key=key,
     )
     keyed = (
@@ -915,15 +922,37 @@ def q_training_corpus(spark, sf_dir):
     The composition itself lives in elb_pipeline.curation.training_corpus
     — the SAME builder the corpus-growth bench (BENCH/dedup_scaling.py
     training_corpus series, VERDICT r4 #7) runs on replica-strided pools,
-    so the oracled query and the scaling evidence cannot drift apart."""
+    so the oracled query and the scaling evidence cannot drift apart.
+
+    The survivor frame is materialized per (sf_dir fingerprint, curation
+    params) — VERDICT r5 #4: ``corpus_sequences`` runs the same five
+    screens in the same sweep, so the second pass reads the survivors
+    table instead of re-curating (the signature/groups tables already
+    work this way)."""
+    import inspect
+
     from elb_pipeline import curation as C
+    from elb_pipeline.matcache import materialize
 
     docs = _read(spark, sf_dir, "documents")
-    return C.training_corpus(
+    surv = C.training_corpus(
         D.doc_pool(docs),
         C.bench_shingles(docs),
         C.en_base_ids(docs),
         cache_key=_doc_cache_key(sf_dir),
+    )
+    return materialize(
+        surv,
+        f"curation_surv_{_doc_cache_key(sf_dir)}",
+        params=D.algo_params()
+        + (
+            C.MIN_TOKENS,
+            C.MAX_CHARS_PER_TOKEN_X2,
+            C.MIN_STOPWORDS,
+            C.N_BENCH_DOCS,
+            tuple(C.EN_STOPWORDS),
+            inspect.getsource(C.training_corpus),
+        ),
     )
 
 

@@ -74,7 +74,10 @@ def training_corpus(
     if raw_id is None:
         raw_id = F.col("doc_id")
     sigs = D.materialized_signatures(pool, cache_key=cache_key)
-    groups = D.dup_groups(D.verified_pairs(sigs), cache_key=cache_key)
+    groups = D.dup_groups(
+        D.materialized_verified_pairs(sigs, cache_key=cache_key),
+        cache_key=cache_key,
+    )
 
     exact_keep = (
         pool.groupBy(F.md5("text"), F.length("text"))

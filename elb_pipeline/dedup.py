@@ -354,6 +354,21 @@ def verified_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
+def materialized_verified_pairs(sigs: DataFrame, cache_key: str) -> DataFrame:
+    """``verified_pairs`` materialized per input fingerprint — the pair
+    set is consumed by four registry queries (lsh_pairs, lsh_groups,
+    leakproof_split via dup_groups, the curation screens), each of which
+    was re-running the band join + exact-Jaccard verify from scratch
+    (measured ~1-2 s per consumer at sf0.1). Same lifecycle as the
+    signature table: computed once, written as a real parquet table, no
+    persisted RDDs left behind."""
+    from elb_pipeline.matcache import materialize
+
+    return materialize(
+        verified_pairs(sigs), f"verified_pairs_{cache_key}", params=algo_params()
+    )
+
+
 def verified_pairs_cte() -> str:
     jac = (
         "CAST(length(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))"
@@ -844,6 +859,20 @@ def dup_groups(pairs: DataFrame, cache_key: str | None = None) -> DataFrame:
     across identical calls); without one a per-call key is generated."""
     import uuid
 
+    from elb_pipeline.matcache import lookup, materialize
+
+    if cache_key is not None:
+        # Cache-first: the fixpoint loop below is EAGER driver-side work
+        # (edges.count + one changed-count job per round), so a post-hoc
+        # materialize() can't skip it — every consumer of the same groups
+        # table (lsh_groups, leakproof_split, training_corpus,
+        # corpus_sequences) was re-running label propagation from scratch.
+        cached = lookup(
+            pairs.sparkSession, f"dup_groups_{cache_key}", params=algo_params()
+        )
+        if cached is not None:
+            return cached
+
     sc = pairs.sparkSession.sparkContext
     owned_rdd_ids: set = set()  # ids of the RDDs THIS call persists
 
@@ -901,8 +930,6 @@ def dup_groups(pairs: DataFrame, cache_key: str | None = None) -> DataFrame:
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )
-    from elb_pipeline.matcache import materialize
-
     out = materialize(
         out,
         f"dup_groups_{cache_key or uuid.uuid4().hex[:12]}",

@@ -62,6 +62,25 @@ def dir_fingerprint(path: str) -> str:
     return h.hexdigest()[:12]
 
 
+def cache_path(key: str, params: tuple = ()) -> str:
+    """Cache directory a (key, params) pair materializes to."""
+    return os.path.join(_cache_root(), f"{key}-v{params_token(params)}")
+
+
+def lookup(spark, key: str, params: tuple = ()):
+    """Return the cached frame for (key, params) if it is already
+    materialized, else None. Lets EAGER builders (driver-side fixpoint
+    loops like dedup.dup_groups) skip their whole computation on a cache
+    hit — ``materialize`` alone only helps LAZY inputs, because the caller
+    has already run its Spark jobs by the time materialize() checks the
+    cache (measured: every dup-groups consumer re-ran label propagation
+    from scratch, ~2-3 s per query at sf0.1)."""
+    path = cache_path(key, params)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    return None
+
+
 def materialize(df: DataFrame, key: str, params: tuple = ()) -> DataFrame:
     """Write ``df`` to the cache under ``key`` (first caller wins the
     atomic rename race) and return the parquet read-back. ``params`` is
