@@ -38,11 +38,13 @@ from elb_pipeline.dialects import (
 )
 from elb_pipeline.deadletter import with_diagnosis
 from elb_pipeline.enrich import enrich
-from elb_pipeline.jsonout import alb_json, classic_json
 from elb_pipeline.parse import (
     alb_field,
     classic_field,
-    with_dialect_struct,
+    routed_dialect_json,
+    routed_filter,
+    routed_json_both,
+    routed_struct,
     with_sink,
 )
 from elb_pipeline.synth import transcripts_cached, transcripts_from_events
@@ -86,22 +88,38 @@ def q_transcripts_build(spark, sf_dir):
 
 
 def q_parse_route_counts(spark, sf_dir):
-    return sink_counts(_routed(spark, sf_dir))
+    # passthrough=[]: only the sink column crosses back from the Arrow
+    # stage (guide §4.1 — the unread transcript columns and the text
+    # dominated the return hop's Arrow→UnsafeRow conversion)
+    return sink_counts(
+        with_sink(transcripts_cached(spark, sf_dir), passthrough=[])
+    )
 
 
 def q_route_sets(spark, sf_dir):
-    return _routed(spark, sf_dir).select("sink", "conv_id", "turn_idx")
+    return with_sink(
+        transcripts_cached(spark, sf_dir), passthrough=["conv_id", "turn_idx"]
+    ).select("sink", "conv_id", "turn_idx")
 
 
 def q_parse_alb_fields(spark, sf_dir):
-    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
-    df = with_dialect_struct(df, SINK_ALB)
+    # fused route+filter+extract: one Arrow pass (extraction doubles as
+    # the validity test), text never crosses back — replaces the
+    # with_sink → JVM filter → with_dialect_struct chain (two passes)
+    df = routed_struct(
+        transcripts_cached(spark, sf_dir),
+        SINK_ALB,
+        passthrough=["conv_id", "turn_idx"],
+    )
     return df.select("conv_id", "turn_idx", *[alb_field(f) for f in ALB_FIELDS])
 
 
 def q_parse_classic_fields(spark, sf_dir):
-    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_CLASSIC)
-    df = with_dialect_struct(df, SINK_CLASSIC)
+    df = routed_struct(
+        transcripts_cached(spark, sf_dir),
+        SINK_CLASSIC,
+        passthrough=["conv_id", "turn_idx"],
+    )
     return df.select(
         "conv_id", "turn_idx", *[classic_field(f) for f in CLASSIC_FIELDS]
     )
@@ -115,8 +133,14 @@ def q_latency_percentiles(spark, sf_dir):
     grammar's '-1' no-target sentinel; rounded so the cross-engine
     float compare is stable. At scale this is one partial-aggregable
     shuffle on a low-cardinality key."""
-    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
-    df = with_dialect_struct(df, SINK_ALB)
+    # fused one-pass extract of exactly the two consumed fields — the
+    # other 31 capture groups never cross the Python→JVM boundary
+    df = routed_struct(
+        transcripts_cached(spark, sf_dir),
+        SINK_ALB,
+        passthrough=[],
+        fields=["elb_status_code", "target_processing_time"],
+    )
     t = alb_field("target_processing_time").cast("double")
     g = (
         df.select(
@@ -138,8 +162,9 @@ def q_url_domain_topk(spark, sf_dir):
     (host = scheme://<host-no-slash-colon>), deterministic tiebreak on
     domain so the limit boundary is engine-stable. TakeOrderedAndProject
     top-k — no global sort."""
-    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
-    df = with_dialect_struct(df, SINK_ALB)
+    df = routed_struct(
+        transcripts_cached(spark, sf_dir), SINK_ALB, passthrough=[], fields=["url"]
+    )
     dom = F.regexp_extract(alb_field("url"), r"^[a-z]+://([^/:]+)", 1)
     return (
         df.select(dom.alias("domain"))
@@ -152,19 +177,31 @@ def q_url_domain_topk(spark, sf_dir):
 
 
 def q_alb_json_lines(spark, sf_dir):
-    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_ALB)
-    df = with_dialect_struct(df, SINK_ALB)
-    return df.select("conv_id", "turn_idx", alb_json().alias("json"))
+    # fused route+extract+NDJSON in one Arrow pass (byte parity with the
+    # JVM to_json path is golden-vector- and oracle-asserted); only
+    # (conv_id, turn_idx, json) cross back
+    return routed_dialect_json(
+        transcripts_cached(spark, sf_dir),
+        SINK_ALB,
+        passthrough=["conv_id", "turn_idx"],
+    )
 
 
 def q_classic_json_lines(spark, sf_dir):
-    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_CLASSIC)
-    df = with_dialect_struct(df, SINK_CLASSIC)
-    return df.select("conv_id", "turn_idx", classic_json().alias("json"))
+    return routed_dialect_json(
+        transcripts_cached(spark, sf_dir),
+        SINK_CLASSIC,
+        passthrough=["conv_id", "turn_idx"],
+    )
 
 
 def q_enrich_rollup(spark, sf_dir):
-    df = enrich(_routed(spark, sf_dir), spark)
+    df = enrich(
+        with_sink(
+            transcripts_cached(spark, sf_dir), passthrough=["role", "tool"]
+        ),
+        spark,
+    )
     return df.groupBy("sink", "role_group", "tool_family").agg(
         F.count("*").alias("n"),
         F.sum(F.col("is_human").cast("int")).alias("n_human"),
@@ -174,15 +211,18 @@ def q_enrich_rollup(spark, sf_dir):
 
 def q_agg_sink_day_bucket(spark, sf_dir):
     # ts_day as ISO string so the cross-engine comparison is type-unambiguous
-    return sink_day_bucket_counts(_routed(spark, sf_dir)).withColumn(
-        "ts_day", F.col("ts_day").cast("string")
-    )
+    return sink_day_bucket_counts(
+        with_sink(transcripts_cached(spark, sf_dir), passthrough=["conv_id", "ts"])
+    ).withColumn("ts_day", F.col("ts_day").cast("string"))
 
 
 def q_agg_salted(spark, sf_dir):
-    return salted_sink_day_bucket_counts(_routed(spark, sf_dir)).withColumn(
-        "ts_day", F.col("ts_day").cast("string")
-    )
+    return salted_sink_day_bucket_counts(
+        with_sink(
+            transcripts_cached(spark, sf_dir),
+            passthrough=["conv_id", "turn_idx", "ts"],
+        )
+    ).withColumn("ts_day", F.col("ts_day").cast("string"))
 
 
 def q_turn_order_check(spark, sf_dir):
@@ -197,8 +237,12 @@ def q_turn_order_check(spark, sf_dir):
 
 
 def q_dead_letter_rows(spark, sf_dir):
-    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_MALFORMED)
-    return df.select("conv_id", "turn_idx", "text")
+    # filter INSIDE the Arrow batch: only the malformed minority's rows
+    # (and text) ever cross back to the JVM
+    return routed_filter(
+        transcripts_cached(spark, sf_dir).select("conv_id", "turn_idx", "text"),
+        SINK_MALFORMED,
+    )
 
 
 def q_dead_letter_diag(spark, sf_dir):
@@ -206,7 +250,10 @@ def q_dead_letter_diag(spark, sf_dir):
     oracle-checked (DuckDB recomputes the cumulative prefix predicates);
     the byte-exact failed_position (reference parse.rs:22-41 semantics) is
     covered by tests/test_deadletter.py against a linear DFA-alive walk."""
-    df = _routed(spark, sf_dir).where(F.col("sink") == SINK_MALFORMED)
+    df = routed_filter(
+        transcripts_cached(spark, sf_dir).select("conv_id", "turn_idx", "text"),
+        SINK_MALFORMED,
+    )
     # positions=False: this query projects only nearest_dialect/fields_ok,
     # so the per-row byte-exact bisection would be computed and discarded
     return with_diagnosis(df, positions=False).select(
@@ -1073,12 +1120,25 @@ def q_ndjson_ordered_lines(spark, sf_dir):
     single-partition: a totally-ordered single-stream export is a
     single-writer operation by definition (at scale you shard it per
     conv_id range — job.export_ndjson_ordered documents that)."""
-    both = q_alb_json_lines(spark, sf_dir).unionByName(
-        q_classic_json_lines(spark, sf_dir)
-    )
+    both = _both_json_lines(spark, sf_dir)
     w = Window.orderBy("conv_id", "turn_idx")
     return both.select(
         F.row_number().over(w).cast("long").alias("line_no"), "json"
+    )
+
+
+def _both_json_lines(spark, sf_dir):
+    """(conv_id, turn_idx, json) for BOTH valid dialects from ONE fused
+    Arrow pass (routed_json_both) — the union of the two per-dialect
+    queries routed and extracted the same text twice (two Python-worker
+    waves; ~2.5× the regex work)."""
+    both = routed_json_both(
+        transcripts_cached(spark, sf_dir),
+        keep_malformed_text=False,
+        passthrough=["conv_id", "turn_idx"],
+    )
+    return both.where(F.col("sink") != SINK_MALFORMED).select(
+        "conv_id", "turn_idx", "json"
     )
 
 
@@ -1099,9 +1159,7 @@ def q_ndjson_sharded_lines(spark, sf_dir):
     identical shard ids and intra-shard line numbers. The file-writing
     face of this plan is job.export_ndjson_sharded (repartitionByRange),
     pytest-checked against the single-stream export's byte sequence."""
-    both = q_alb_json_lines(spark, sf_dir).unionByName(
-        q_classic_json_lines(spark, sf_dir)
-    )
+    both = _both_json_lines(spark, sf_dir)
     # UNBOUNDED suffix parse (substring(conv_id, 6) to end-of-string) on
     # BOTH engines — the r4 pair used substring(...,6,6) on the Spark side
     # only, which would silently diverge from the oracle's substr(id, 6)

@@ -159,23 +159,46 @@ def route_sink_arrow(text: pa.Array) -> pa.Array:
     )
 
 
-def with_sink(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_sink(
+    df: DataFrame,
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
     """Add only the ``sink`` routing column (the cheap path — use this for
-    anything that doesn't read extracted fields)."""
+    anything that doesn't read extracted fields).
+
+    ``passthrough`` (guide §4.1: pass only the columns the function needs,
+    both ways): select exactly those columns + ``text_col`` BEFORE the
+    Python map — Catalyst cannot prune through it — and emit only
+    ``passthrough + [sink]``, so the text bytes never cross BACK to the
+    JVM for consumers that don't read them (measured: the text column
+    dominates the Arrow→UnsafeRow conversion on the return hop)."""
+    if passthrough is None:
+        src = df
+        keep = [f.name for f in df.schema.fields]
+        keep_idx = list(range(len(df.schema.fields)))
+        text_idx = df.columns.index(text_col)
+        out_fields = list(df.schema.fields)
+    else:
+        src = df.select(*passthrough, text_col)
+        keep = list(passthrough)
+        keep_idx = list(range(len(passthrough)))
+        text_idx = len(passthrough)
+        out_fields = [src.schema[c] for c in passthrough]
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("sink", T.StringType(), True)]
+        out_fields + [T.StructField("sink", T.StringType(), True)]
     )
+    names = [*keep, "sink"]
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_worker_pools()
         for batch in batches:
-            idx = batch.schema.get_field_index(text_col)
-            sink = route_sink_arrow(batch.column(idx))
+            sink = route_sink_arrow(batch.column(text_idx))
             yield pa.RecordBatch.from_arrays(
-                [*batch.columns, sink], names=[*batch.schema.names, "sink"]
+                [batch.column(i) for i in keep_idx] + [sink], names=names
             )
 
-    return df.mapInArrow(gen, out_schema)
+    return src.mapInArrow(gen, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -211,8 +234,91 @@ def routed_filter(df: DataFrame, sink: str, text_col: str = "text") -> DataFrame
     return df.mapInArrow(gen, df.schema)
 
 
+def routed_struct(
+    df: DataFrame,
+    dialect: str,
+    passthrough: list[str],
+    fields: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused route → keep only ``dialect`` rows → extract fields, in ONE
+    Arrow pass: replaces the with_sink → JVM filter → with_dialect_struct
+    chain (two Python-worker waves, with the text and every other column
+    crossing back to the JVM between them) for queries that read parsed
+    fields. Emits ``passthrough + parsed`` where ``parsed`` holds the
+    dialect's ``fields`` (default: all) — the text never crosses back,
+    and queries that read 1-2 fields (latency_percentiles,
+    url_domain_topk) cross exactly those instead of all 33."""
+    if dialect == SINK_ALB:
+        all_names, prefix = ALB_FIELDS, "alb_"
+    elif dialect == SINK_CLASSIC:
+        all_names, prefix = CLASSIC_FIELDS, "clb_"
+    else:
+        raise ValueError(f"no extractable fields for dialect {dialect!r}")
+    fields = list(fields) if fields is not None else list(all_names)
+    pick = [all_names.index(f) for f in fields]
+    struct_names = [f"{prefix}{f}" for f in fields]
+    struct_schema = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n in struct_names]
+    )
+    src = df.select(*passthrough, text_col)
+    n_pass = len(passthrough)
+    out_schema = T.StructType(
+        [src.schema[c] for c in passthrough]
+        + [T.StructField("parsed", struct_schema, True)]
+    )
+    names = [*passthrough, "parsed"]
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_worker_pools()
+        for batch in batches:
+            text = _as_string_array(batch.column(n_pass))
+            if dialect == SINK_ALB:
+                # extraction doubles as the validity test (one RE2 pass;
+                # grammar precedence makes the ALB match authoritative)
+                ext = pc.extract_regex(text, pattern=ALB_NAMED_PATTERN)
+                mask = pc.is_valid(ext)
+                kept = batch.filter(mask)
+                children = list(ext.filter(mask).flatten())
+                tid_i = len(ALB_FIELDS) - 1
+                children[tid_i] = pc.if_else(
+                    pc.equal(children[tid_i], pa.scalar("")),
+                    _NULL_STR,
+                    children[tid_i],
+                )
+            else:
+                # classic routes only rows the ALB grammar rejected
+                alb_ok = pc.fill_null(
+                    pc.match_substring_regex(text, pattern=ALB_NAMED_PATTERN),
+                    False,
+                )
+                rest = batch.filter(pc.invert(alb_ok))
+                ext = pc.extract_regex(
+                    _as_string_array(rest.column(n_pass)),
+                    pattern=CLASSIC_NAMED_PATTERN,
+                )
+                mask = pc.is_valid(ext)
+                kept = rest.filter(mask)
+                children = list(ext.filter(mask).flatten())
+            children = [
+                c.cast(pa.string()) if c.type != pa.string() else c
+                for c in children
+            ]
+            parsed = pa.StructArray.from_arrays(
+                [children[i] for i in pick], names=struct_names
+            )
+            yield pa.RecordBatch.from_arrays(
+                [*kept.columns[:n_pass], parsed], names=names
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
 def routed_dialect_json(
-    df: DataFrame, dialect: str, text_col: str = "text"
+    df: DataFrame,
+    dialect: str,
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """The fused sink operator: route → keep only ``dialect`` rows → extract
     fields → assemble the reference-exact NDJSON line — all inside one Arrow
@@ -222,39 +328,82 @@ def routed_dialect_json(
     map, a JVM filter, a 33-column struct crossing, and JVM ``to_json``,
     only the final JSON string crosses the Python↔JVM boundary (measured
     ~5× faster end-to-end at 32 cores on 8M rows).
+
+    ``passthrough``: select exactly those columns + text before the map
+    and emit ``passthrough + [json]`` — the text does not cross back
+    (guide §4.1); validity comes from the extraction itself (one RE2
+    pass for the ALB side instead of match + extract).
     """
     from elb_pipeline.jsonout import arrow_ndjson
 
     if dialect == SINK_ALB:
-        fields, extract, optional_last = ALB_FIELDS, _extract_alb_children, True
+        fields, optional_last = ALB_FIELDS, True
     elif dialect == SINK_CLASSIC:
-        fields, extract, optional_last = CLASSIC_FIELDS, _extract_clb_children, False
+        fields, optional_last = CLASSIC_FIELDS, False
     else:
         raise ValueError(f"no JSON output for dialect {dialect!r}")
 
+    if passthrough is None:
+        src = df
+        n_keep = len(df.columns)
+        keep_cols = list(range(n_keep))
+        text_idx = df.columns.index(text_col)
+        out_fields = list(df.schema.fields)
+        names = [*df.columns, "json"]
+    else:
+        src = df.select(*passthrough, text_col)
+        n_keep = len(passthrough)
+        keep_cols = list(range(n_keep))
+        text_idx = n_keep
+        out_fields = [src.schema[c] for c in passthrough]
+        names = [*passthrough, "json"]
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("json", T.StringType(), True)]
+        out_fields + [T.StructField("json", T.StringType(), True)]
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_worker_pools()
         for batch in batches:
-            idx = batch.schema.get_field_index(text_col)
-            mask = _sink_mask(_as_string_array(batch.column(idx)), dialect)
-            kept = batch.filter(mask)
-            if kept.num_rows == 0:
-                yield pa.RecordBatch.from_arrays(
-                    [*kept.columns, pa.array([], pa.string())],
-                    names=[*kept.schema.names, "json"],
+            text = _as_string_array(batch.column(text_idx))
+            if dialect == SINK_ALB:
+                ext = pc.extract_regex(text, pattern=ALB_NAMED_PATTERN)
+                mask = pc.is_valid(ext)
+                kept = batch.filter(mask)
+                children = list(ext.filter(mask).flatten())
+                tid_i = len(ALB_FIELDS) - 1
+                children[tid_i] = pc.if_else(
+                    pc.equal(children[tid_i], pa.scalar("")),
+                    _NULL_STR,
+                    children[tid_i],
                 )
-                continue
-            children = extract(_as_string_array(kept.column(idx)))
-            js = arrow_ndjson(list(fields), children, optional_last=optional_last)
+            else:
+                alb_ok = pc.fill_null(
+                    pc.match_substring_regex(text, pattern=ALB_NAMED_PATTERN),
+                    False,
+                )
+                rest = batch.filter(pc.invert(alb_ok))
+                ext = pc.extract_regex(
+                    _as_string_array(rest.column(text_idx)),
+                    pattern=CLASSIC_NAMED_PATTERN,
+                )
+                mask = pc.is_valid(ext)
+                kept = rest.filter(mask)
+                children = list(ext.filter(mask).flatten())
+            if kept.num_rows == 0:
+                js = pa.array([], pa.string())
+            else:
+                children = [
+                    c.cast(pa.string()) if c.type != pa.string() else c
+                    for c in children
+                ]
+                js = arrow_ndjson(
+                    list(fields), children, optional_last=optional_last
+                )
             yield pa.RecordBatch.from_arrays(
-                [*kept.columns, js], names=[*kept.schema.names, "json"]
+                [kept.column(i) for i in keep_cols] + [js], names=names
             )
 
-    return df.mapInArrow(gen, out_schema)
+    return src.mapInArrow(gen, out_schema)
 
 
 # ---------------------------------------------------------------------------
