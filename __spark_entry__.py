@@ -339,9 +339,11 @@ def q_dedup_exact(spark, sf_dir):
     100-TB shape: the shuffle rows carry a 32-char key instead of the full
     document text; length disambiguates the astronomically-unlikely md5
     collision. The oracle groups on the same key."""
-    from elb_pipeline.dedup import doc_pool
+    from elb_pipeline.dedup import materialized_doc_pool
 
-    d = doc_pool(_read(spark, sf_dir, "documents"))
+    d = materialized_doc_pool(
+        _read(spark, sf_dir, "documents"), cache_key=_doc_cache_key(sf_dir)
+    )
     return (
         d.groupBy(F.md5("text").alias("k"), F.length("text").alias("len"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
@@ -425,14 +427,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     (dedup.py). Signatures are materialized to a parquet table (computed
     once, no persisted RDDs left behind)."""
     from elb_pipeline.dedup import (
-        doc_pool,
+        materialized_doc_pool,
         materialized_signatures,
         materialized_verified_pairs,
     )
 
     key = _doc_cache_key(sf_dir)
     sigs = materialized_signatures(
-        doc_pool(_read(spark, sf_dir, "documents")), cache_key=key
+        materialized_doc_pool(_read(spark, sf_dir, "documents"), cache_key=key),
+        cache_key=key,
     )
     return materialized_verified_pairs(sigs, cache_key=key)
 
@@ -443,15 +446,16 @@ def q_minhash_lsh_groups(spark, sf_dir):
     dup_groups owns the persist lifecycle of its inputs (pairs/edges are
     unpersisted once the edge set is materialized)."""
     from elb_pipeline.dedup import (
-        doc_pool,
         dup_groups,
+        materialized_doc_pool,
         materialized_signatures,
         materialized_verified_pairs,
     )
 
     key = _doc_cache_key(sf_dir)
     sigs = materialized_signatures(
-        doc_pool(_read(spark, sf_dir, "documents")), cache_key=key
+        materialized_doc_pool(_read(spark, sf_dir, "documents"), cache_key=key),
+        cache_key=key,
     )
     return dup_groups(materialized_verified_pairs(sigs, cache_key=key), cache_key=key)
 
@@ -472,15 +476,15 @@ def q_leakproof_split(spark, sf_dir):
     the straddle-freedom is pytest-asserted with a naive-split negative
     control (tests/test_mixture.py)."""
     from elb_pipeline.dedup import (
-        doc_pool,
         dup_groups,
+        materialized_doc_pool,
         materialized_signatures,
         materialized_verified_pairs,
     )
     from elb_pipeline.mixture import hash_frac
 
     key = _doc_cache_key(sf_dir)
-    pool = doc_pool(_read(spark, sf_dir, "documents"))
+    pool = materialized_doc_pool(_read(spark, sf_dir, "documents"), cache_key=key)
     groups = dup_groups(
         materialized_verified_pairs(
             materialized_signatures(pool, cache_key=key), cache_key=key
@@ -513,13 +517,14 @@ def q_dedup_incremental(spark, sf_dir):
     queries (production: the corpus signature store is standing state)."""
     from elb_pipeline.dedup import (
         EXACT_OFFSET,
-        doc_pool,
         incremental_dedup,
+        materialized_doc_pool,
         materialized_signatures,
     )
 
-    pool = doc_pool(_read(spark, sf_dir, "documents"))
-    sigs = materialized_signatures(pool, cache_key=_doc_cache_key(sf_dir))
+    key = _doc_cache_key(sf_dir)
+    pool = materialized_doc_pool(_read(spark, sf_dir, "documents"), cache_key=key)
+    sigs = materialized_signatures(pool, cache_key=key)
     return incremental_dedup(pool, sigs, EXACT_OFFSET)
 
 
@@ -533,9 +538,13 @@ def q_jaccard_rare_pairs(spark, sf_dir):
     the known recall gap (dup cliques wider than the cap have no blocking
     key — measured at sf0.001) is documented at dedup.rare_shingle_pairs,
     and the exact-recall prefix-filter variant is jaccard_prefix_pairs."""
-    from elb_pipeline.dedup import doc_pool, rare_shingle_pairs
+    from elb_pipeline.dedup import materialized_doc_pool, rare_shingle_pairs
 
-    return rare_shingle_pairs(doc_pool(_read(spark, sf_dir, "documents")))
+    key = _doc_cache_key(sf_dir)
+    return rare_shingle_pairs(
+        materialized_doc_pool(_read(spark, sf_dir, "documents"), cache_key=key),
+        cache_key=key,
+    )
 
 
 def q_jaccard_prefix_pairs(spark, sf_dir):
@@ -550,9 +559,13 @@ def q_jaccard_prefix_pairs(spark, sf_dir):
     set arrays (dedup.prefix_jaccard_pairs — see the module comment's
     measured scale lesson: the string-array form spilled >65 GB at 233k
     docs on a bigram-entropy corpus)."""
-    from elb_pipeline.dedup import doc_pool, prefix_jaccard_pairs
+    from elb_pipeline.dedup import materialized_doc_pool, prefix_jaccard_pairs
 
-    return prefix_jaccard_pairs(doc_pool(_read(spark, sf_dir, "documents")))
+    key = _doc_cache_key(sf_dir)
+    return prefix_jaccard_pairs(
+        materialized_doc_pool(_read(spark, sf_dir, "documents"), cache_key=key),
+        cache_key=key,
+    )
 
 
 # BPE-ish token classes: letter runs, digit runs, single punctuation
@@ -825,7 +838,7 @@ def q_simhash_near_dup(spark, sf_dir):
     expression tree falls out of codegen, 119 s → ~1 s), materialized to
     parquet so the two join sides don't recompute it and no persisted RDD
     outlives the query."""
-    from elb_pipeline.dedup import doc_pool, simhash32
+    from elb_pipeline.dedup import materialized_doc_pool, simhash32
     from elb_pipeline.matcache import materialize
 
     import inspect
@@ -833,7 +846,9 @@ def q_simhash_near_dup(spark, sf_dir):
     from elb_pipeline.dedup import _simhash32_batch, algo_params
 
     pool = materialize(
-        doc_pool(_read(spark, sf_dir, "documents")).select(
+        materialized_doc_pool(
+            _read(spark, sf_dir, "documents"), cache_key=_doc_cache_key(sf_dir)
+        ).select(
             "doc_id", simhash32(F.col("text")).alias("sh")
         ),
         f"simhash32_{_doc_cache_key(sf_dir)}",
@@ -983,7 +998,7 @@ def q_training_corpus(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     surv = C.training_corpus(
-        D.doc_pool(docs),
+        D.materialized_doc_pool(docs, cache_key=_doc_cache_key(sf_dir)),
         C.bench_shingles(docs),
         C.en_base_ids(docs),
         cache_key=_doc_cache_key(sf_dir),
@@ -1046,8 +1061,14 @@ def q_streaming_dedup(spark, sf_dir):
     path = transcripts_cache_path(spark, sf_dir)
     lo, hi = spark.read.parquet(path).agg(F.min("ts"), F.max("ts")).first()
     span_h = int((hi - lo).total_seconds() // 3600) + 2
+    # uncapped trigger: this is a bounded drain (processAllAvailable), so
+    # one micro-batch does all the work — the per-batch state-commit and
+    # planning overhead of the 8-file cap bought nothing here. The key
+    # SET (what the oracle checks) is identical either way; WHICH row
+    # survives per key was nondeterministic before and stays so.
     deduped = dedup_stream(
-        read_transcripts_stream(spark, path), watermark=f"{span_h} hours"
+        read_transcripts_stream(spark, path, max_files_per_trigger=0),
+        watermark=f"{span_h} hours",
     )
     name = "q_streaming_dedup_sink"
     q = (

@@ -119,6 +119,27 @@ def doc_pool(documents: DataFrame) -> DataFrame:
     )
 
 
+def materialized_doc_pool(documents: DataFrame, cache_key: str) -> DataFrame:
+    """``doc_pool`` materialized once per input fingerprint. Nine registry
+    queries consume the pool; each was re-running the 3-way union +
+    spreading repartition (plus its shuffle) from the single-file test
+    table (~0.4 s each at sf0.1). The parquet read-back keeps the spread
+    partitioning. Production analog: the dedup input IS a real table —
+    the pool only exists to synthesize a dup-bearing corpus from the
+    dup-free driver fixture, so materializing it mirrors the production
+    shape the same way transcripts_cached does for the parse family."""
+    from elb_pipeline.matcache import lookup, materialize
+
+    cached = lookup(
+        documents.sparkSession, f"doc_pool_{cache_key}", params=algo_params()
+    )
+    if cached is not None:
+        return cached
+    return materialize(
+        doc_pool(documents), f"doc_pool_{cache_key}", params=algo_params()
+    )
+
+
 def doc_pool_cte() -> str:
     return (
         "doc_pool AS ("
@@ -552,7 +573,42 @@ def incremental_dedup_sql(split_id: int) -> str:
 RARE_DF_MAX = 4  # doc-frequency cap on blocking shingles
 
 
-def rare_shingle_pairs(pool: DataFrame) -> DataFrame:
+def _shingle_rows(pool: DataFrame) -> DataFrame:
+    """(doc_id, s): each doc's DISTINCT word-3-gram shingles, exploded."""
+    return pool.select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+    )
+
+
+def materialized_shingle_rows(pool: DataFrame, cache_key: str) -> DataFrame:
+    """Exploded shingle rows materialized per input fingerprint — BOTH
+    exact-Jaccard paths (rare-shingle index and AllPairs prefix filter)
+    build their inverted index from the identical rows; each was paying
+    the split+slide+explode recompute (~1.2 s at sf0.1)."""
+    from elb_pipeline.matcache import materialize
+
+    return materialize(
+        _shingle_rows(pool), f"shingle_rows_{cache_key}", params=algo_params()
+    )
+
+
+def materialized_shingle_sets(pool: DataFrame, cache_key: str) -> DataFrame:
+    """(doc_id, hs): the 8-byte-hashed shingle SET per doc (the verify-side
+    operand of _jaccard_verify), materialized per input fingerprint — the
+    rare and prefix paths each verify against the same sets."""
+    from elb_pipeline.matcache import materialize
+
+    hs = F.transform(F.array_distinct(_shingles()), lambda x: F.xxhash64(x))
+    return materialize(
+        pool.select("doc_id", hs.alias("hs")),
+        f"shingle_sets_{cache_key}",
+        params=algo_params(),
+    )
+
+
+def rare_shingle_pairs(
+    pool: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """Near-duplicate pairs (exact shingle-set Jaccard >= JACCARD_THRESHOLD)
     blocked on shingles with document frequency in [2, RARE_DF_MAX].
 
@@ -565,10 +621,16 @@ def rare_shingle_pairs(pool: DataFrame) -> DataFrame:
     only. No sketch — the trade vs MinHash-LSH is a bigger candidate set at
     equal threshold, and a deterministic (not probabilistic) recall gap:
     dup cliques wider than RARE_DF_MAX are invisible (see module comment;
-    prefix_jaccard_pairs is the exact-recall variant)."""
-    sh = pool.select(
-        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
-    )
+    prefix_jaccard_pairs is the exact-recall variant).
+
+    ``cache_key``: reuse the materialized shingle rows / verify sets
+    shared with the prefix path (same values either way)."""
+    if cache_key is not None:
+        sh = materialized_shingle_rows(pool, cache_key)
+        sets_ = materialized_shingle_sets(pool, cache_key)
+    else:
+        sh = _shingle_rows(pool)
+        sets_ = None
     rare = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -583,10 +645,12 @@ def rare_shingle_pairs(pool: DataFrame) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    return _jaccard_verify(cands, pool)
+    return _jaccard_verify(cands, pool, sets_=sets_)
 
 
-def _jaccard_verify(cands: DataFrame, pool: DataFrame) -> DataFrame:
+def _jaccard_verify(
+    cands: DataFrame, pool: DataFrame, sets_: DataFrame | None = None
+) -> DataFrame:
     """Exact-Jaccard verify of ``cands(a_id, b_id)`` against the docs'
     shingle SETS, shipped as 8-byte ``xxhash64`` arrays instead of the raw
     shingle strings. Set sizes (hence Jaccard) are identical to the string
@@ -596,9 +660,11 @@ def _jaccard_verify(cands: DataFrame, pool: DataFrame) -> DataFrame:
     the candidate join's intermediates carry ~8 B/shingle instead of the
     ~30 B/shingle strings — at 233k docs the string form's verify stage
     spilled >65 GB and died on ENOSPC; the hashed form fits (measured,
-    BENCH/dedup_scaling.py prefix)."""
-    hs = F.transform(F.array_distinct(_shingles()), lambda x: F.xxhash64(x))
-    sets_ = pool.select("doc_id", hs.alias("hs"))
+    BENCH/dedup_scaling.py prefix). ``sets_`` overrides the per-call
+    recompute with a shared (materialized) set table."""
+    if sets_ is None:
+        hs = F.transform(F.array_distinct(_shingles()), lambda x: F.xxhash64(x))
+        sets_ = pool.select("doc_id", hs.alias("hs"))
     a = sets_.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_sh"))
     b = sets_.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_sh"))
     jac = F.size(F.array_intersect("a_sh", "b_sh")) / F.size(
@@ -674,7 +740,9 @@ def rare_shingle_pairs_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
-def prefix_jaccard_pairs(pool: DataFrame) -> DataFrame:
+def prefix_jaccard_pairs(
+    pool: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """Exact near-duplicate pairs (shingle-set Jaccard >= JACCARD_THRESHOLD)
     via the AllPairs prefix filter — deterministic AND recall-complete.
 
@@ -686,11 +754,17 @@ def prefix_jaccard_pairs(pool: DataFrame) -> DataFrame:
     candidate set is 2.5x larger and the string-array verify spilled the
     disk at 233k docs), Jaccard verify on candidates only over 8-byte
     hashed shingle sets. All shuffles are on doc_id or shingle; no
-    all-pairs stage exists at any width."""
+    all-pairs stage exists at any width.
+
+    ``cache_key``: reuse the materialized shingle rows / verify sets
+    shared with the rare-shingle path (same values either way)."""
     t = JACCARD_THRESHOLD
-    sh = pool.select(
-        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
-    )
+    if cache_key is not None:
+        sh = materialized_shingle_rows(pool, cache_key)
+        sets_ = materialized_shingle_sets(pool, cache_key)
+    else:
+        sh = _shingle_rows(pool)
+        sets_ = None
     dfs = sh.groupBy("s").agg(F.count("*").alias("df"))
     order_w = Window.partitionBy("doc_id").orderBy("df", "s")
     ranked = (
@@ -742,7 +816,7 @@ def prefix_jaccard_pairs(pool: DataFrame) -> DataFrame:
         .where(F.col("best_ub") >= alpha)
         .select("a_id", "b_id")
     )
-    return _jaccard_verify(cands, pool)
+    return _jaccard_verify(cands, pool, sets_=sets_)
 
 
 def prefix_jaccard_pairs_sql() -> str:

@@ -28,11 +28,16 @@ TRANSCRIPTS_DDL = (
 def read_transcripts_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 8
 ) -> DataFrame:
-    return (
-        spark.readStream.schema(TRANSCRIPTS_DDL)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+    """``max_files_per_trigger <= 0`` leaves the rate uncapped: a bounded
+    drain-the-table run (processAllAvailable) then does its work in ONE
+    micro-batch instead of ceil(files/cap) — each extra micro-batch pays
+    a full state-store commit + planning round (measured ~0.4 s/batch on
+    local[32]), which is pure overhead when no data arrives between
+    triggers. Live tailing deployments keep the cap for latency/memory."""
+    r = spark.readStream.schema(TRANSCRIPTS_DDL)
+    if max_files_per_trigger > 0:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
 
 
 def routed_stream(spark: SparkSession, stream: DataFrame) -> DataFrame:
