@@ -185,6 +185,16 @@ def diagnose_arrow(text: pa.Array, positions: bool = True) -> list[pa.Array]:
     """
     if not isinstance(text, pa.Array):
         text = pa.array(text, pa.string())
+    # Diagnosis is a pure per-line function: repeated dead-letter lines
+    # (retried requests, templated probes, the deterministic fixtures) are
+    # diagnosed once per batch and the three result columns scattered
+    # back (same hash-consing as parse._dict_unique; null lines keep
+    # their null results through the null take index).
+    from elb_pipeline.parse import _dict_unique
+
+    take_idx, uniq = _dict_unique(text)
+    if take_idx is not None:
+        return [c.take(take_idx) for c in diagnose_arrow(uniq, positions)]
     n = len(text)
     alb_k = fields_ok_arrow(text, ALB)
     clb_k = fields_ok_arrow(text, CLASSIC)

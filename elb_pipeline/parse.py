@@ -132,20 +132,33 @@ def _as_string_array(text: pa.Array) -> pa.Array:
     return text
 
 
+def _dict_unique(text: pa.Array) -> tuple[pa.Array | None, pa.Array]:
+    """Batch-level hash-consing of the input lines: ``(indices, uniques)``
+    when the batch carries real redundancy, else ``(None, text)``.
+
+    Routing/extraction/serialization are pure per-line functions, so a
+    batch with repeated lines only needs each DISTINCT line parsed once —
+    ``dictionary_encode`` is a single C++ hash pass (~2% of the extract
+    cost), and ``take`` scatters the per-unique results back. Real log
+    corpora repeat lines heavily (health checks, retries, templated
+    requests), and the deterministic golden-pool fixtures are an extreme
+    case; on an all-unique batch the 2× guard below skips the machinery,
+    so the worst case costs one hash pass. Null lines get a null index —
+    callers fill the scattered result's nulls with the malformed/None
+    value for their operator."""
+    enc = text.dictionary_encode()
+    uniq = enc.dictionary
+    if len(uniq) * 2 >= len(text):
+        return None, text
+    return enc.indices, uniq
+
+
 # ---------------------------------------------------------------------------
 # routing — match-only (RE2 DFA, no capture extraction)
 # ---------------------------------------------------------------------------
 
 
-def route_sink_arrow(text: pa.Array) -> pa.Array:
-    """sink array for one Arrow string array — 'alb'|'classic_lb'|'malformed'.
-
-    Uses capture-free matching (RE2's fast path). Precedence mirrors the
-    reference's per-dialect dispatch; the grammars are anchored and
-    disjoint, so the second match rejects ALB rows at the first byte.
-    Null text → 'malformed'.
-    """
-    text = _as_string_array(text)
+def _route_sink_unique(text: pa.Array) -> pa.Array:
     alb_ok = pc.fill_null(
         pc.match_substring_regex(text, pattern=ALB_NAMED_PATTERN), False
     )
@@ -157,6 +170,23 @@ def route_sink_arrow(text: pa.Array) -> pa.Array:
         pa.scalar(SINK_ALB),
         pc.if_else(clb_ok, pa.scalar(SINK_CLASSIC), pa.scalar(SINK_MALFORMED)),
     )
+
+
+def route_sink_arrow(text: pa.Array) -> pa.Array:
+    """sink array for one Arrow string array — 'alb'|'classic_lb'|'malformed'.
+
+    Uses capture-free matching (RE2's fast path). Precedence mirrors the
+    reference's per-dialect dispatch; the grammars are anchored and
+    disjoint, so the second match rejects ALB rows at the first byte.
+    Null text → 'malformed'. Repeated lines in a batch are routed once
+    (_dict_unique hash-consing).
+    """
+    text = _as_string_array(text)
+    idx, uniq = _dict_unique(text)
+    sink = _route_sink_unique(uniq)
+    if idx is None:
+        return sink
+    return pc.fill_null(sink.take(idx), pa.scalar(SINK_MALFORMED))
 
 
 def with_sink(
@@ -206,7 +236,7 @@ def with_sink(
 # ---------------------------------------------------------------------------
 
 
-def _sink_mask(text: pa.Array, sink: str) -> pa.Array:
+def _sink_mask_unique(text: pa.Array, sink: str) -> pa.Array:
     alb_ok = pc.fill_null(
         pc.match_substring_regex(text, pattern=ALB_NAMED_PATTERN), False
     )
@@ -218,6 +248,15 @@ def _sink_mask(text: pa.Array, sink: str) -> pa.Array:
     if sink == SINK_CLASSIC:
         return pc.and_(clb_ok, pc.invert(alb_ok))
     return pc.invert(pc.or_(alb_ok, clb_ok))
+
+
+def _sink_mask(text: pa.Array, sink: str) -> pa.Array:
+    idx, uniq = _dict_unique(text)
+    mask = _sink_mask_unique(uniq, sink)
+    if idx is None:
+        return mask
+    # null text routes to malformed: its scattered mask slot is null
+    return pc.fill_null(mask.take(idx), sink == SINK_MALFORMED)
 
 
 def routed_filter(df: DataFrame, sink: str, text_col: str = "text") -> DataFrame:
@@ -269,41 +308,20 @@ def routed_struct(
     )
     names = [*passthrough, "parsed"]
 
+    extract = (
+        _extract_alb_children if dialect == SINK_ALB else _extract_clb_children
+    )
+
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_worker_pools()
         for batch in batches:
+            # capture-free match decides validity (DFA — ~1/15th the cost
+            # of the 33-group extraction); extraction then runs once per
+            # DISTINCT kept line (_dict_unique inside the extract helper)
             text = _as_string_array(batch.column(n_pass))
-            if dialect == SINK_ALB:
-                # extraction doubles as the validity test (one RE2 pass;
-                # grammar precedence makes the ALB match authoritative)
-                ext = pc.extract_regex(text, pattern=ALB_NAMED_PATTERN)
-                mask = pc.is_valid(ext)
-                kept = batch.filter(mask)
-                children = list(ext.filter(mask).flatten())
-                tid_i = len(ALB_FIELDS) - 1
-                children[tid_i] = pc.if_else(
-                    pc.equal(children[tid_i], pa.scalar("")),
-                    _NULL_STR,
-                    children[tid_i],
-                )
-            else:
-                # classic routes only rows the ALB grammar rejected
-                alb_ok = pc.fill_null(
-                    pc.match_substring_regex(text, pattern=ALB_NAMED_PATTERN),
-                    False,
-                )
-                rest = batch.filter(pc.invert(alb_ok))
-                ext = pc.extract_regex(
-                    _as_string_array(rest.column(n_pass)),
-                    pattern=CLASSIC_NAMED_PATTERN,
-                )
-                mask = pc.is_valid(ext)
-                kept = rest.filter(mask)
-                children = list(ext.filter(mask).flatten())
-            children = [
-                c.cast(pa.string()) if c.type != pa.string() else c
-                for c in children
-            ]
+            mask = _sink_mask(text, dialect)
+            kept = batch.filter(mask)
+            children = extract(_as_string_array(kept.column(n_pass)))
             parsed = pa.StructArray.from_arrays(
                 [children[i] for i in pick], names=struct_names
             )
@@ -361,44 +379,29 @@ def routed_dialect_json(
         out_fields + [T.StructField("json", T.StringType(), True)]
     )
 
+    extract_u = (
+        _extract_alb_children_u if dialect == SINK_ALB else _extract_clb_children_u
+    )
+
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_worker_pools()
         for batch in batches:
+            # match decides validity (capture-free DFA), then extraction
+            # AND serialization run once per DISTINCT kept line — the
+            # assembled JSON is scattered back with one take()
             text = _as_string_array(batch.column(text_idx))
-            if dialect == SINK_ALB:
-                ext = pc.extract_regex(text, pattern=ALB_NAMED_PATTERN)
-                mask = pc.is_valid(ext)
-                kept = batch.filter(mask)
-                children = list(ext.filter(mask).flatten())
-                tid_i = len(ALB_FIELDS) - 1
-                children[tid_i] = pc.if_else(
-                    pc.equal(children[tid_i], pa.scalar("")),
-                    _NULL_STR,
-                    children[tid_i],
-                )
-            else:
-                alb_ok = pc.fill_null(
-                    pc.match_substring_regex(text, pattern=ALB_NAMED_PATTERN),
-                    False,
-                )
-                rest = batch.filter(pc.invert(alb_ok))
-                ext = pc.extract_regex(
-                    _as_string_array(rest.column(text_idx)),
-                    pattern=CLASSIC_NAMED_PATTERN,
-                )
-                mask = pc.is_valid(ext)
-                kept = rest.filter(mask)
-                children = list(ext.filter(mask).flatten())
+            mask = _sink_mask(text, dialect)
+            kept = batch.filter(mask)
             if kept.num_rows == 0:
                 js = pa.array([], pa.string())
             else:
-                children = [
-                    c.cast(pa.string()) if c.type != pa.string() else c
-                    for c in children
-                ]
+                ktext = _as_string_array(kept.column(text_idx))
+                idx, uniq = _dict_unique(ktext)
                 js = arrow_ndjson(
-                    list(fields), children, optional_last=optional_last
+                    list(fields), extract_u(uniq), optional_last=optional_last
                 )
+                if idx is not None:
+                    js = js.take(idx)
             yield pa.RecordBatch.from_arrays(
                 [kept.column(i) for i in keep_cols] + [js], names=names
             )
@@ -420,23 +423,24 @@ def _scatter(kept: pa.Array, mask: pa.BooleanArray) -> pa.Array:
     return kept.take(idx)
 
 
-def route_json_arrow(text: pa.Array) -> tuple[pa.Array, pa.Array]:
-    """(sink, json) for one Arrow string array, both dialects, one pass.
+def _route_json_unique(text: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(sink, json) aligned to ``text`` — the per-distinct-line body of
+    :func:`route_json_arrow`.
 
-    Work per line: ONE RE2 extract with the ALB grammar over every row
-    (extraction doubles as the validity test — measured cheaper than a
-    separate match pass followed by a 63%-selectivity extract), ONE RE2
-    extract with the Classic grammar over only the non-ALB remainder, and
-    C++-side NDJSON assembly on the matching subsets. Nothing else touches
-    the text. json is null for malformed rows.
-    """
+    Work per line: one capture-free ALB MATCH over every row (RE2's DFA
+    path — measured ~1/15th the cost of the 33-group extraction, so
+    validity is decided before any capture work), one 33-group ALB
+    extract over only the matching rows, one Classic extract over only
+    the non-ALB remainder (extraction doubles as the validity test there
+    — the 18-group Classic pattern extracts faster than the ALB match
+    runs), and C++-side NDJSON assembly on the matching subsets. json is
+    null for malformed rows."""
     from elb_pipeline.jsonout import arrow_ndjson
 
-    text = _as_string_array(text)
     n = len(text)
-
-    alb_ext = pc.extract_regex(text, pattern=ALB_NAMED_PATTERN)
-    alb_ok = pc.is_valid(alb_ext)
+    alb_ok = pc.fill_null(
+        pc.match_substring_regex(text, pattern=ALB_NAMED_PATTERN), False
+    )
     rest_mask = pc.invert(alb_ok)
 
     text_rest = text.filter(rest_mask)
@@ -456,8 +460,10 @@ def route_json_arrow(text: pa.Array) -> tuple[pa.Array, pa.Array]:
 
     json_col = pa.nulls(n, pa.string())
     if pc.any(alb_ok).as_py():
-        kept = alb_ext.filter(alb_ok)
-        children = list(kept.flatten())
+        alb_ext = pc.extract_regex(
+            text.filter(alb_ok), pattern=ALB_NAMED_PATTERN
+        )
+        children = list(alb_ext.flatten())
         tid_i = len(ALB_FIELDS) - 1
         children[tid_i] = pc.if_else(
             pc.equal(children[tid_i], pa.scalar("")), _NULL_STR, children[tid_i]
@@ -469,6 +475,23 @@ def route_json_arrow(text: pa.Array) -> tuple[pa.Array, pa.Array]:
         js = arrow_ndjson(list(CLASSIC_FIELDS), list(kept.flatten()))
         json_col = pc.if_else(clb_ok, _scatter(js, clb_ok), json_col)
     return sink, json_col
+
+
+def route_json_arrow(text: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(sink, json) for one Arrow string array, both dialects, one pass.
+
+    Repeated lines are parsed ONCE per batch (_dict_unique hash-consing —
+    route/extract/serialize are pure per-line functions); per-distinct
+    work is _route_json_unique. json is null for malformed rows."""
+    text = _as_string_array(text)
+    idx, uniq = _dict_unique(text)
+    sink, json_col = _route_json_unique(uniq)
+    if idx is None:
+        return sink, json_col
+    return (
+        pc.fill_null(sink.take(idx), pa.scalar(SINK_MALFORMED)),
+        json_col.take(idx),
+    )
 
 
 def routed_json_both(
@@ -563,7 +586,7 @@ def routed_json_both(
 # ---------------------------------------------------------------------------
 
 
-def _extract_alb_children(text: pa.Array) -> list[pa.Array]:
+def _extract_alb_children_u(text: pa.Array) -> list[pa.Array]:
     ext = pc.extract_regex(text, pattern=ALB_NAMED_PATTERN)
     children = list(ext.flatten())  # flatten propagates no-match nulls
     # optional tid extracts as '' when absent — normalize to null (a real
@@ -575,11 +598,27 @@ def _extract_alb_children(text: pa.Array) -> list[pa.Array]:
     return [c.cast(pa.string()) if c.type != pa.string() else c for c in children]
 
 
-def _extract_clb_children(text: pa.Array) -> list[pa.Array]:
+def _extract_clb_children_u(text: pa.Array) -> list[pa.Array]:
     ext = pc.extract_regex(text, pattern=CLASSIC_NAMED_PATTERN)
     return [
         c.cast(pa.string()) if c.type != pa.string() else c for c in ext.flatten()
     ]
+
+
+def _extract_alb_children(text: pa.Array) -> list[pa.Array]:
+    idx, uniq = _dict_unique(text)
+    children = _extract_alb_children_u(uniq)
+    if idx is None:
+        return children
+    return [c.take(idx) for c in children]
+
+
+def _extract_clb_children(text: pa.Array) -> list[pa.Array]:
+    idx, uniq = _dict_unique(text)
+    children = _extract_clb_children_u(uniq)
+    if idx is None:
+        return children
+    return [c.take(idx) for c in children]
 
 
 def with_dialect_struct(
