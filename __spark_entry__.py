@@ -749,7 +749,9 @@ def q_sequence_pack(spark, sf_dir):
     from elb_pipeline.packing import sequence_pack
 
     d = _read(spark, sf_dir, "documents")
-    max_id = d.agg(F.max("doc_id")).first()[0]
+    # empty-table guard (ADVICE r5): max() is None on an empty table; 0
+    # keeps _arith_shard's arithmetic valid (any upper bound works)
+    max_id = d.agg(F.max("doc_id")).first()[0] or 0
     # shard count follows the session's parallelism (the oracle twin is
     # invariant to the decomposition width; 8 would cap the cumsum stage)
     return sequence_pack(
@@ -787,10 +789,11 @@ def q_curriculum_bins(spark, sf_dir):
     """Curriculum quartile binning with SCALE-TRUE exact quantiles
     (mixture.py): the corpus collapses to its n_chars value distribution
     (bounded cardinality), the CDF walk runs over the O(distinct)-row
-    aggregate, and the 1-row boundary frame joins back on a constant key
-    as a BroadcastHashJoin — no O(rows)-buffer `percentile` aggregate, no
-    BroadcastNestedLoopJoin. The DuckDB twin runs the identical CTE chain
-    so neither engine's quantile built-in is trusted."""
+    aggregate, and the O(distinct)-row bucket LUT broadcast-equi-joins
+    back on the real key n_chars — no O(rows)-buffer `percentile`
+    aggregate, no constant-key BroadcastNestedLoopJoin (the suite-wide
+    plan assertion forbids those). The DuckDB twin runs the identical CTE
+    chain so neither engine's quantile built-in is trusted."""
     from elb_pipeline.mixture import curriculum_bins
 
     return curriculum_bins(_read(spark, sf_dir, "documents"))
@@ -944,14 +947,20 @@ def q_contamination_check(spark, sf_dir):
     shingles shared with the 'benchmark set' (docs 0-9). At scale the
     benchmark shingle set is small → broadcast join; candidate docs are
     whatever overlaps, no all-pairs work."""
-    from elb_pipeline.dedup import _shingles
-
-    # the test table is one tiny parquet partition — spread the
-    # shingle-explode across the session's cores (AQE coalesces at scale)
-    d = _read(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    from elb_pipeline.dedup import (
+        EXACT_OFFSET,
+        materialized_doc_pool,
+        materialized_shingle_rows,
     )
-    shingled = d.select("doc_id", F.explode(_shingles()).alias("s")).distinct()
+
+    # reuse the shared per-doc distinct shingle rows (the base documents
+    # are exactly the pool rows below the planted-dup offset) instead of
+    # re-exploding the corpus — same (doc_id, s) set by construction
+    key = _doc_cache_key(sf_dir)
+    pool = materialized_doc_pool(_read(spark, sf_dir, "documents"), cache_key=key)
+    shingled = materialized_shingle_rows(pool, key).where(
+        F.col("doc_id") < EXACT_OFFSET
+    )
     bench = (
         shingled.where(F.col("doc_id") < 10).select("s").distinct()
     )
@@ -997,11 +1006,19 @@ def q_training_corpus(spark, sf_dir):
     from elb_pipeline.matcache import materialize
 
     docs = _read(spark, sf_dir, "documents")
+    key = _doc_cache_key(sf_dir)
+    pool = D.materialized_doc_pool(docs, cache_key=key)
+    # both shingle sides come from the shared materialized rows table:
+    # the benchmark side is its doc_id < 10 slice (the base documents ARE
+    # the pool rows below the planted-dup offset), the contamination side
+    # is the full pool rows — no re-shingling in either screen
+    rows = D.materialized_shingle_rows(pool, key)
     surv = C.training_corpus(
-        D.materialized_doc_pool(docs, cache_key=_doc_cache_key(sf_dir)),
-        C.bench_shingles(docs),
+        pool,
+        rows.where(F.col("doc_id") < C.N_BENCH_DOCS).select("s").distinct(),
         C.en_base_ids(docs),
-        cache_key=_doc_cache_key(sf_dir),
+        cache_key=key,
+        pool_shingles=rows,
     )
     return materialize(
         surv,
@@ -1034,7 +1051,7 @@ def q_corpus_sequences(spark, sf_dir):
 
     surv = q_training_corpus(spark, sf_dir)
     max_id = (
-        _read(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+        _read(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0] or 0
     )
     return sequence_pack(
         surv,

@@ -584,23 +584,27 @@ def materialized_shingle_rows(pool: DataFrame, cache_key: str) -> DataFrame:
     """Exploded shingle rows materialized per input fingerprint — BOTH
     exact-Jaccard paths (rare-shingle index and AllPairs prefix filter)
     build their inverted index from the identical rows; each was paying
-    the split+slide+explode recompute (~1.2 s at sf0.1)."""
+    the split+slide+explode recompute (~1.2 s at sf0.1). Derived from the
+    materialized signature table's ``sh`` column (same shingle arrays —
+    with_signatures computes them once), not re-shingled from text."""
     from elb_pipeline.matcache import materialize
 
-    return materialize(
-        _shingle_rows(pool), f"shingle_rows_{cache_key}", params=algo_params()
-    )
+    sigs = materialized_signatures(pool, cache_key=cache_key)
+    rows = sigs.select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    return materialize(rows, f"shingle_rows_{cache_key}", params=algo_params())
 
 
 def materialized_shingle_sets(pool: DataFrame, cache_key: str) -> DataFrame:
     """(doc_id, hs): the 8-byte-hashed shingle SET per doc (the verify-side
     operand of _jaccard_verify), materialized per input fingerprint — the
-    rare and prefix paths each verify against the same sets."""
+    rare and prefix paths each verify against the same sets. Also derived
+    from the signature table's shingle arrays."""
     from elb_pipeline.matcache import materialize
 
-    hs = F.transform(F.array_distinct(_shingles()), lambda x: F.xxhash64(x))
+    sigs = materialized_signatures(pool, cache_key=cache_key)
+    hs = F.transform(F.array_distinct("sh"), lambda x: F.xxhash64(x))
     return materialize(
-        pool.select("doc_id", hs.alias("hs")),
+        sigs.select("doc_id", hs.alias("hs")),
         f"shingle_sets_{cache_key}",
         params=algo_params(),
     )

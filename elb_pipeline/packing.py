@@ -140,7 +140,14 @@ def sequence_pack(
     last_doc). A doc spanning a boundary contributes to every sequence it
     touches; every sequence holds exactly ``seq_len`` tokens except the
     last. The explode is bounded by ceil(doc_len/seq_len) rows per doc."""
-    spans = doc_token_spans(docs, max_doc_id, n_shards=n_shards)
+    # n_tokens > 0 guard (ADVICE r5): a pre-supplied zero-token row would
+    # make fin < start and sequence() default to step -1, silently
+    # emitting phantom descending seq_ids; all current callers derive
+    # nt >= 1, so this filter drops nothing today — it turns a latent
+    # wrong-answer path into a no-op.
+    spans = doc_token_spans(docs, max_doc_id, n_shards=n_shards).where(
+        F.col("n_tokens") > 0
+    )
     # INTEGER division (`div`), not floor(double /): token offsets at
     # 10^12-turn scale can pass 2^53, where double division mis-bins the
     # boundary doc; the DuckDB twin's `//` is integer division already
