@@ -339,11 +339,12 @@ def q_dedup_exact(spark, sf_dir):
     100-TB shape: the shuffle rows carry a 32-char key instead of the full
     document text; length disambiguates the astronomically-unlikely md5
     collision. The oracle groups on the same key."""
-    from elb_pipeline.dedup import materialized_doc_pool
+    from elb_pipeline.dedup import doc_pool
 
-    d = materialized_doc_pool(
-        _read(spark, sf_dir, "documents"), cache_key=_doc_cache_key(sf_dir)
-    )
+    # plain (non-materialized) pool: this query is ONE streaming scan +
+    # partial-first agg over it — paying the family's pool write here
+    # would charge the shared table to the cheapest consumer
+    d = doc_pool(_read(spark, sf_dir, "documents"))
     return (
         d.groupBy(F.md5("text").alias("k"), F.length("text").alias("len"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
