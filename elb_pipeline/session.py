@@ -65,11 +65,29 @@ def get_spark(
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if master.startswith("local-cluster"):
+        # Hang safety net for multi-JVM executor runs: a Python worker
+        # handed out of the reuse pool can (rarely) leave the task's
+        # selector waiting forever on a socket nobody will write — seen
+        # once on this box as a task blocked >15 min in
+        # BasePythonRunner$ReaderInputStream.read with zero live workers.
+        # 600 s of NO socket activity on a worker is pathological here
+        # (batches flow every few seconds), so let Spark kill the worker
+        # and retry the task (local-cluster honors spark.task.maxFailures;
+        # plain local[N] does not, so the net is scoped to cluster mode).
+        b = b.config("spark.python.worker.idleTimeoutSeconds", "600").config(
+            "spark.python.worker.killOnIdleTimeout", "true"
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    _warm_session(spark)
+    if not master.startswith("local-cluster"):
+        # local-cluster runs (the bench's executor-scaling subprocesses)
+        # do their own untimed warm passes; extra Python-runner churn at
+        # session start buys nothing there and preceded a worker-reuse
+        # hang (see above), so warm only in-process local[N] sessions.
+        _warm_session(spark)
     return spark
 
 
